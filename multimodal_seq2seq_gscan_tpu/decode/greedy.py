@@ -1,0 +1,130 @@
+"""Fully-batched greedy decoding under ``lax.scan``.
+
+Replaces the reference's batch-1 Python while-loop (seq2seq/predict.py:57-128,
+~21 ex/s on a GPU) with a single compiled program: encode the whole batch,
+pre-project attention keys once, then scan the decoder cell for
+``max_decoding_steps + 1`` steps with per-example done flags.
+
+EOS semantics mirror the reference exactly:
+- the loop emits up to ``max_decoding_steps + 1`` tokens (the reference's
+  ``<=`` bound, predict.py:101);
+- a trailing EOS is stripped from the output (predict.py:114-117);
+- attention-weight stacks align 1:1 with the emitted (pre-strip) tokens.
+"""
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from multimodal_seq2seq_gscan_tpu.models.config import ModelConfig
+from multimodal_seq2seq_gscan_tpu.models.model import (
+    auxiliary_task_forward, decoder_step, encode_input, get_auxiliary_accuracy,
+    initialize_decoder_hidden, project_keys)
+from multimodal_seq2seq_gscan_tpu.models.params import ModelParams
+
+
+class GreedyDecodeOutput(NamedTuple):
+    """Raw device output of the batched greedy decode.
+
+    tokens:           [B, S] emitted token ids (garbage after done).
+    emitted_mask:     [B, S] 1.0 while the example was still emitting.
+    lengths:          [B] number of emitted tokens incl. a final EOS if any.
+    attention_commands:   [B, S, M_t] textual attention per emitted step.
+    attention_situations: [B, S, M_v] visual attention per emitted step.
+    position_accuracy: [B] aux target-position accuracy (0 if aux task off).
+    """
+
+    tokens: jax.Array
+    emitted_mask: jax.Array
+    lengths: jax.Array
+    attention_commands: jax.Array
+    attention_situations: jax.Array
+    position_accuracy: jax.Array
+
+
+def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int):
+    """Build a jitted batched greedy decoder."""
+    num_steps = max_decoding_steps + 1  # reference loops while iter <= max.
+
+    def greedy_decode(params: ModelParams, input_ids, input_lengths, situations,
+                      target_positions) -> GreedyDecodeOutput:
+        encoded = encode_input(params, config, input_ids, input_lengths,
+                               situations, deterministic=True)
+        projected_textual, projected_visual = project_keys(params, encoded)
+        hidden = initialize_decoder_hidden(params, config, encoded.hidden)
+        batch = input_ids.shape[0]
+        start_tokens = jnp.full((batch,), config.target_sos_idx, jnp.int32)
+        done0 = jnp.zeros((batch,), jnp.bool_)
+
+        def step(carry, _):
+            tokens, hidden, done = carry
+            logits, new_hidden, attn_cmd, attn_sit = decoder_step(
+                params, config, tokens, hidden, projected_textual,
+                encoded.command_mask, projected_visual, deterministic=True)
+            next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            emitting = jnp.logical_not(done)
+            # Freeze state for finished examples.
+            new_hidden = jax.tree.map(
+                lambda new, old: jnp.where(
+                    emitting.reshape((1, -1) + (1,) * (new.ndim - 2)), new, old),
+                new_hidden, hidden)
+            tokens_out = jnp.where(emitting, next_tokens, 0)
+            new_done = jnp.logical_or(done,
+                                      next_tokens == config.target_eos_idx)
+            carry_tokens = jnp.where(emitting, next_tokens, tokens)
+            return ((carry_tokens, new_hidden, new_done),
+                    (tokens_out, emitting.astype(jnp.float32), attn_cmd,
+                     attn_sit))
+
+        (_, _, _), (tokens, emitted, attn_cmd, attn_sit) = lax.scan(
+            step, (start_tokens, hidden, done0), None, length=num_steps)
+
+        tokens = jnp.swapaxes(tokens, 0, 1)          # [B, S]
+        emitted = jnp.swapaxes(emitted, 0, 1)        # [B, S]
+        attn_cmd = jnp.swapaxes(attn_cmd, 0, 1)      # [B, S, M_t]
+        attn_sit = jnp.swapaxes(attn_sit, 0, 1)      # [B, S, M_v]
+        lengths = jnp.sum(emitted, axis=1).astype(jnp.int32)
+
+        if config.auxiliary_task:
+            # Aux accuracy from visual attention summed over emitted steps
+            # (reference predict.py:118-120 sums the contexts over time).
+            summed = jnp.sum(attn_sit * emitted[..., None], axis=1)
+            aux_scores = auxiliary_task_forward(summed)
+            predictions = jnp.argmax(aux_scores, axis=-1)
+            position_accuracy = 100.0 * (
+                predictions == target_positions).astype(jnp.float32)
+        else:
+            position_accuracy = jnp.zeros((batch,), jnp.float32)
+
+        return GreedyDecodeOutput(
+            tokens=tokens, emitted_mask=emitted, lengths=lengths,
+            attention_commands=attn_cmd, attention_situations=attn_sit,
+            position_accuracy=position_accuracy)
+
+    return jax.jit(greedy_decode)
+
+
+def strip_output_sequences(output: GreedyDecodeOutput, eos_idx: int
+                           ) -> Tuple[List[List[int]], List[int]]:
+    """Host-side: per-example token lists with any trailing EOS stripped.
+
+    Returns (sequences, kept_lengths) where kept_lengths[i] is the number of
+    steps whose attention weights the reference would keep (pop'd along with
+    the EOS token, predict.py:114-117).
+    """
+    tokens = np.asarray(output.tokens)
+    lengths = np.asarray(output.lengths)
+    sequences = []
+    kept_lengths = []
+    for i in range(tokens.shape[0]):
+        n = int(lengths[i])
+        seq = tokens[i, :n].tolist()
+        if n > 0 and seq[-1] == eos_idx:
+            seq = seq[:-1]
+            n -= 1
+        sequences.append(seq)
+        kept_lengths.append(n)
+    return sequences, kept_lengths

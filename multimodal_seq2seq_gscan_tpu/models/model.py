@@ -1,0 +1,273 @@
+"""The multimodal seq2seq model: CNN + BiLSTM encoder, joint-attention decoder.
+
+Dataflow-parity rebuild of the reference Model (seq2seq/model.py:24-261 and
+seq2seq/seq2seq_model.py): identical tensor algebra, but batch-first, purely
+functional, and with the per-timestep Python loop replaced by ``lax.scan`` so
+the whole teacher-forced unroll compiles to one XLA program.
+"""
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from multimodal_seq2seq_gscan_tpu.models.config import ModelConfig
+from multimodal_seq2seq_gscan_tpu.models.nn import (
+    additive_attention, dropout, embed, lstm_cell, masked_lstm_scan,
+    reverse_padded, sequence_mask, situation_cnn)
+from multimodal_seq2seq_gscan_tpu.models.params import (
+    ModelParams, count_parameters)
+
+__all__ = [
+    "EncodedInput", "encode_input", "decode_teacher_forced", "decoder_step",
+    "forward", "get_loss", "get_metrics", "get_auxiliary_loss",
+    "get_auxiliary_accuracy", "auxiliary_task_forward", "count_parameters",
+    "initialize_decoder_hidden", "project_keys",
+]
+
+
+class EncodedInput(NamedTuple):
+    encoded_situations: jax.Array  # [B, H*W, 3*cnn_channels]
+    encoded_commands: jax.Array    # [B, T_in, enc_hidden]
+    hidden: jax.Array              # [B, enc_hidden]
+    command_mask: jax.Array        # [B, T_in]
+
+
+def encode_input(params: ModelParams, config: ModelConfig,
+                 command_ids: jax.Array, command_lengths: jax.Array,
+                 situations: jax.Array, *, rng: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> EncodedInput:
+    """CNN over the situation grid + (bi)LSTM over the command tokens.
+
+    Bidirectional outputs/final hidden are summed over directions (reference
+    seq2seq_model.py:76-81); the backward pass runs over the length-reversed
+    valid prefix, reproducing packed-sequence semantics.
+    """
+    if rng is not None:
+        rng_cnn, rng_emb = jax.random.split(rng)
+    else:
+        rng_cnn = rng_emb = None
+
+    # -- Situation encoder --
+    features = situation_cnn(params.cnn, situations, config.cnn_kernel_size)
+    features = jax.nn.relu(features)
+    features = dropout(rng_cnn, features, config.cnn_dropout_p, deterministic)
+
+    # -- Command encoder --
+    embedded = embed(params.encoder.embedding, command_ids,
+                     config.input_padding_idx)
+    embedded = dropout(rng_emb, embedded, config.encoder_dropout_p,
+                       deterministic)
+    max_len = command_ids.shape[1]
+    mask = sequence_mask(command_lengths, max_len)
+
+    def run_stack(layers, inputs):
+        outputs, final = inputs, None
+        for layer in layers:
+            outputs, final = masked_lstm_scan(layer, outputs, mask)
+        return outputs, final
+
+    fwd_out, (fwd_h, _) = run_stack(params.encoder.fwd_layers, embedded)
+    if params.encoder.bwd_layers is not None:
+        reversed_in = reverse_padded(embedded, command_lengths)
+        bwd_out_rev, (bwd_h, _) = run_stack(params.encoder.bwd_layers,
+                                            reversed_in)
+        bwd_out = reverse_padded(bwd_out_rev, command_lengths)
+        outputs = fwd_out + bwd_out
+        hidden = fwd_h + bwd_h
+    else:
+        outputs = fwd_out
+        hidden = fwd_h
+
+    return EncodedInput(encoded_situations=features, encoded_commands=outputs,
+                        hidden=hidden, command_mask=mask)
+
+
+def initialize_decoder_hidden(params: ModelParams, config: ModelConfig,
+                              encoder_hidden: jax.Array
+                              ) -> Tuple[jax.Array, jax.Array]:
+    """tanh(W enc_hidden) replicated into (h0, c0) for every decoder layer.
+
+    Returns h, c of shape [num_layers, B, H].
+    """
+    message = jnp.tanh(encoder_hidden @ params.enc_to_dec_w
+                       + params.enc_to_dec_b)
+    stacked = jnp.broadcast_to(message[None],
+                               (config.num_decoder_layers,) + message.shape)
+    return stacked, stacked
+
+
+def project_keys(params: ModelParams, encoded: EncodedInput
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Pre-project both attention key sets once per sequence (efficiency;
+    reference seq2seq_model.py:466-469). NOTE the projected keys double as the
+    attention *values* — contexts live in decoder-hidden space."""
+    projected_textual = encoded.encoded_commands @ params.textual_attention.key_w
+    projected_visual = encoded.encoded_situations @ params.visual_attention.key_w
+    return projected_textual, projected_visual
+
+
+def decoder_step(params: ModelParams, config: ModelConfig,
+                 token_ids: jax.Array, hidden: Tuple[jax.Array, jax.Array],
+                 projected_textual_keys: jax.Array, command_mask: jax.Array,
+                 projected_visual_keys: jax.Array, *,
+                 rng: Optional[jax.Array] = None, deterministic: bool = True):
+    """One decoder step (reference BahdanauAttentionDecoderRNN.forward_step).
+
+    token_ids: [B]; hidden: (h, c) each [num_layers, B, H].
+    Returns (logits [B, V], (h, c), attn_commands [B, M_t], attn_situations [B, M_v]).
+    """
+    h_stack, c_stack = hidden
+    query = h_stack[-1]  # [B, H] — top-layer hidden state drives attention.
+
+    if rng is not None:
+        rng_emb = rng
+    else:
+        rng_emb = None
+
+    embedded = embed(params.decoder.embedding, token_ids, config.target_pad_idx)
+    embedded = dropout(rng_emb, embedded, config.decoder_dropout_p,
+                       deterministic)
+
+    context_command, attn_commands = additive_attention(
+        params.textual_attention, query, projected_textual_keys,
+        projected_textual_keys, command_mask)
+
+    if config.conditional_attention:
+        joint = jnp.concatenate([query, context_command], axis=-1)
+        visual_query = jnp.tanh(joint @ params.decoder.queries_to_keys_w
+                                + params.decoder.queries_to_keys_b)
+    else:
+        visual_query = query
+    visual_mask = jnp.ones(projected_visual_keys.shape[:2],
+                           projected_visual_keys.dtype)
+    context_situation, attn_situations = additive_attention(
+        params.visual_attention, visual_query, projected_visual_keys,
+        projected_visual_keys, visual_mask)
+
+    lstm_input = jnp.concatenate([embedded, context_command, context_situation],
+                                 axis=-1)  # [B, 3H]
+    new_h, new_c = [], []
+    layer_input = lstm_input
+    for i, layer in enumerate(params.decoder.lstm_layers):
+        h_i, c_i = lstm_cell(layer, layer_input, h_stack[i], c_stack[i])
+        new_h.append(h_i)
+        new_c.append(c_i)
+        layer_input = h_i
+    lstm_output = new_h[-1]
+    hidden_out = (jnp.stack(new_h), jnp.stack(new_c))
+
+    pre_output = jnp.concatenate(
+        [embedded, lstm_output, context_command, context_situation], axis=-1)
+    pre_output = pre_output @ params.decoder.output_to_hidden_w  # [B, H]
+    logits = pre_output @ params.decoder.hidden_to_output_w  # [B, V]
+    return logits, hidden_out, attn_commands, attn_situations
+
+
+def decode_teacher_forced(params: ModelParams, config: ModelConfig,
+                          target_ids: jax.Array, encoded: EncodedInput, *,
+                          rng: Optional[jax.Array] = None,
+                          deterministic: bool = True):
+    """Teacher-forced unroll over all time steps under one ``lax.scan``.
+
+    Returns log-probs [B, T, V] and the situation-attention weights summed over
+    time [B, M_v] (the auxiliary head input; reference seq2seq_model.py:490).
+    """
+    projected_textual, projected_visual = project_keys(params, encoded)
+    hidden = initialize_decoder_hidden(params, config, encoded.hidden)
+
+    def step(carry, xs):
+        hidden, step_idx = carry
+        tokens = xs
+        step_rng = (jax.random.fold_in(rng, step_idx)
+                    if rng is not None else None)
+        logits, hidden, _, attn_situations = decoder_step(
+            params, config, tokens, hidden, projected_textual,
+            encoded.command_mask, projected_visual, rng=step_rng,
+            deterministic=deterministic)
+        return (hidden, step_idx + 1), (logits, attn_situations)
+
+    tokens_by_time = jnp.swapaxes(target_ids, 0, 1)  # [T, B]
+    (_, _), (logits, attn_situations) = lax.scan(
+        step, (hidden, jnp.int32(0)), tokens_by_time)
+    logits = jnp.swapaxes(logits, 0, 1)  # [B, T, V]
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    # Sum of visual attention over *all* decode steps, padded ones included
+    # (matches the reference, which sums over the full unrolled length).
+    summed_attention = jnp.sum(attn_situations, axis=0)  # [B, M_v]
+    return log_probs, summed_attention
+
+
+def forward(params: ModelParams, config: ModelConfig, command_ids, command_lengths,
+            situations, target_ids, *, rng: Optional[jax.Array] = None,
+            deterministic: bool = True):
+    """Full forward pass: encode + teacher-forced decode (+ aux head scores)."""
+    if rng is not None:
+        rng_enc, rng_dec = jax.random.split(rng)
+    else:
+        rng_enc = rng_dec = None
+    encoded = encode_input(params, config, command_ids, command_lengths,
+                           situations, rng=rng_enc, deterministic=deterministic)
+    log_probs, summed_attention = decode_teacher_forced(
+        params, config, target_ids, encoded, rng=rng_dec,
+        deterministic=deterministic)
+    if config.auxiliary_task:
+        target_position_scores = auxiliary_task_forward(summed_attention)
+    else:
+        target_position_scores = jnp.zeros_like(summed_attention)
+    return log_probs, target_position_scores
+
+
+def auxiliary_task_forward(summed_attention: jax.Array) -> jax.Array:
+    """Log-softmax over grid cells of the time-summed situation attention."""
+    return jax.nn.log_softmax(summed_attention, axis=-1)
+
+
+def remove_start_of_sequence(config: ModelConfig,
+                             targets: jax.Array) -> jax.Array:
+    """Shift targets left by one (drop SOS, append a pad column)."""
+    batch = targets.shape[0]
+    pad = jnp.zeros((batch, 1), targets.dtype)
+    return jnp.concatenate([targets[:, 1:], pad], axis=1)
+
+
+def get_loss(config: ModelConfig, target_log_probs: jax.Array,
+             targets: jax.Array) -> jax.Array:
+    """NLL averaged over non-pad target tokens (== NLLLoss(ignore_index=pad))."""
+    targets = remove_start_of_sequence(config, targets)
+    token_log_probs = jnp.take_along_axis(
+        target_log_probs, targets[..., None], axis=-1)[..., 0]  # [B, T]
+    mask = (targets != config.target_pad_idx).astype(target_log_probs.dtype)
+    total = jnp.maximum(jnp.sum(mask), 1.0)
+    return -jnp.sum(token_log_probs * mask) / total
+
+
+def get_metrics(config: ModelConfig, target_log_probs: jax.Array,
+                targets: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(token accuracy %, exact-match %) over the batch."""
+    targets = remove_start_of_sequence(config, targets)
+    mask = (targets != config.target_pad_idx)
+    predictions = jnp.argmax(target_log_probs, axis=-1)
+    correct = jnp.logical_and(predictions == targets, mask)
+    total = jnp.maximum(jnp.sum(mask), 1)
+    accuracy = 100.0 * jnp.sum(correct) / total
+    per_example_correct = jnp.sum(correct, axis=1)
+    per_example_total = jnp.sum(mask, axis=1)
+    exact = 100.0 * jnp.mean(
+        (per_example_correct == per_example_total).astype(jnp.float32))
+    return accuracy, exact
+
+
+def get_auxiliary_loss(auxiliary_log_probs: jax.Array,
+                       target_positions: jax.Array) -> jax.Array:
+    token_log_probs = jnp.take_along_axis(
+        auxiliary_log_probs, target_positions[:, None], axis=-1)[:, 0]
+    return -jnp.mean(token_log_probs)
+
+
+def get_auxiliary_accuracy(auxiliary_scores: jax.Array,
+                           target_positions: jax.Array) -> jax.Array:
+    predictions = jnp.argmax(auxiliary_scores, axis=-1)
+    return 100.0 * jnp.mean((predictions == target_positions)
+                            .astype(jnp.float32))

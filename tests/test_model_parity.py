@@ -1,0 +1,232 @@
+"""Numerical parity vs the reference PyTorch model.
+
+Imports the reference implementation (read-only, skipped when unavailable),
+copies its randomly-initialized weights into our JAX parameter pytrees, and
+checks that forward outputs, loss, and metrics agree in eval mode. This pins
+the entire dataflow: CNN, BiLSTM encoder, both attentions, decoder cell,
+output head, loss masking, and the target shift.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE_PATH = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE_PATH, "seq2seq")),
+    reason="reference implementation not available")
+
+if os.path.isdir(os.path.join(REFERENCE_PATH, "seq2seq")):
+    sys.path.insert(0, REFERENCE_PATH)
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from multimodal_seq2seq_gscan_tpu.models import (
+    ModelConfig, forward, get_loss, get_metrics, init_model_params)
+from multimodal_seq2seq_gscan_tpu.models.params import (
+    AttentionParams, CNNParams, DecoderParams, EncoderParams, LSTMLayerParams,
+    ModelParams)
+
+GRID = 6
+CHANNELS = 16
+INPUT_VOCAB = 12
+TARGET_VOCAB = 9
+
+
+def _make_config(**overrides):
+    defaults = dict(
+        input_vocabulary_size=INPUT_VOCAB, target_vocabulary_size=TARGET_VOCAB,
+        num_cnn_channels=CHANNELS, embedding_dimension=10,
+        encoder_hidden_size=20, decoder_hidden_size=20, cnn_kernel_size=3,
+        cnn_hidden_num_channels=8, encoder_dropout_p=0.3, decoder_dropout_p=0.3,
+        cnn_dropout_p=0.1, conditional_attention=True, auxiliary_task=True)
+    defaults.update(overrides)
+    return ModelConfig(**defaults)
+
+
+def _make_reference_model(config: ModelConfig):
+    from seq2seq.model import Model as ReferenceModel
+    torch.manual_seed(1234)
+    return ReferenceModel(
+        input_vocabulary_size=config.input_vocabulary_size,
+        embedding_dimension=config.embedding_dimension,
+        encoder_hidden_size=config.encoder_hidden_size,
+        num_encoder_layers=config.num_encoder_layers,
+        target_vocabulary_size=config.target_vocabulary_size,
+        encoder_dropout_p=config.encoder_dropout_p,
+        encoder_bidirectional=config.encoder_bidirectional,
+        num_decoder_layers=config.num_decoder_layers,
+        decoder_dropout_p=config.decoder_dropout_p,
+        decoder_hidden_size=config.decoder_hidden_size,
+        num_cnn_channels=config.num_cnn_channels,
+        cnn_kernel_size=config.cnn_kernel_size,
+        cnn_dropout_p=config.cnn_dropout_p,
+        cnn_hidden_num_channels=config.cnn_hidden_num_channels,
+        input_padding_idx=config.input_padding_idx,
+        target_pad_idx=config.target_pad_idx,
+        target_eos_idx=config.target_eos_idx,
+        output_directory="/tmp", conditional_attention=config.conditional_attention,
+        auxiliary_task=config.auxiliary_task,
+        simple_situation_representation=True, attention_type="bahdanau")
+
+
+def _t2j(tensor):
+    return jnp.asarray(tensor.detach().numpy())
+
+
+def _lstm_layer_from_torch(lstm, layer, reverse=False):
+    suffix = "_reverse" if reverse else ""
+    return LSTMLayerParams(
+        w_ih=_t2j(getattr(lstm, f"weight_ih_l{layer}{suffix}")),
+        w_hh=_t2j(getattr(lstm, f"weight_hh_l{layer}{suffix}")),
+        b_ih=_t2j(getattr(lstm, f"bias_ih_l{layer}{suffix}")),
+        b_hh=_t2j(getattr(lstm, f"bias_hh_l{layer}{suffix}")))
+
+
+def _attention_from_torch(attention):
+    return AttentionParams(
+        key_w=_t2j(attention.key_layer.weight).T,
+        query_w=_t2j(attention.query_layer.weight).T,
+        energy_w=_t2j(attention.energy_layer.weight).T)
+
+
+def _params_from_reference(ref, config: ModelConfig) -> ModelParams:
+    def conv_w(conv):
+        # torch conv weight [O, C, kh, kw] -> HWIO. The reference transposes
+        # H<->W around its conv (cnn_model.py:28,34 transpose(1, 3)), so its
+        # kernels act spatially transposed; import as [kw, kh, C, O] to match.
+        return _t2j(conv.weight).transpose(3, 2, 1, 0)
+
+    cnn = CNNParams(
+        conv1_w=conv_w(ref.situation_encoder.conv_1),
+        conv1_b=_t2j(ref.situation_encoder.conv_1.bias),
+        conv5_w=conv_w(ref.situation_encoder.conv_2),
+        conv5_b=_t2j(ref.situation_encoder.conv_2.bias),
+        convk_w=conv_w(ref.situation_encoder.conv_3),
+        convk_b=_t2j(ref.situation_encoder.conv_3.bias))
+
+    fwd = tuple(_lstm_layer_from_torch(ref.encoder.lstm, i)
+                for i in range(config.num_encoder_layers))
+    bwd = (tuple(_lstm_layer_from_torch(ref.encoder.lstm, i, reverse=True)
+                 for i in range(config.num_encoder_layers))
+           if config.encoder_bidirectional else None)
+    encoder = EncoderParams(embedding=_t2j(ref.encoder.embedding.weight),
+                            fwd_layers=fwd, bwd_layers=bwd)
+
+    dec = ref.attention_decoder
+    decoder = DecoderParams(
+        embedding=_t2j(dec.embedding.weight),
+        lstm_layers=tuple(_lstm_layer_from_torch(dec.lstm, i)
+                          for i in range(config.num_decoder_layers)),
+        queries_to_keys_w=(_t2j(dec.queries_to_keys.weight).T
+                           if config.conditional_attention else None),
+        queries_to_keys_b=(_t2j(dec.queries_to_keys.bias)
+                           if config.conditional_attention else None),
+        output_to_hidden_w=_t2j(dec.output_to_hidden.weight).T,
+        hidden_to_output_w=_t2j(dec.hidden_to_output.weight).T)
+
+    return ModelParams(
+        cnn=cnn, encoder=encoder,
+        enc_to_dec_w=_t2j(ref.enc_hidden_to_dec_hidden.weight).T,
+        enc_to_dec_b=_t2j(ref.enc_hidden_to_dec_hidden.bias),
+        textual_attention=_attention_from_torch(ref.textual_attention),
+        visual_attention=_attention_from_torch(ref.visual_attention),
+        decoder=decoder)
+
+
+def _make_batch(seed=0, batch=5):
+    rng = np.random.RandomState(seed)
+    input_lengths = rng.randint(3, 8, size=batch)
+    max_in = input_lengths.max()
+    target_lengths = rng.randint(4, 10, size=batch)
+    max_out = target_lengths.max()
+    input_ids = np.zeros((batch, max_in), dtype=np.int64)
+    target_ids = np.zeros((batch, max_out), dtype=np.int64)
+    for i in range(batch):
+        input_ids[i, 0] = 1
+        input_ids[i, 1:input_lengths[i] - 1] = rng.randint(
+            3, INPUT_VOCAB, size=input_lengths[i] - 2)
+        input_ids[i, input_lengths[i] - 1] = 2
+        target_ids[i, 0] = 1
+        target_ids[i, 1:target_lengths[i] - 1] = rng.randint(
+            3, TARGET_VOCAB, size=target_lengths[i] - 2)
+        target_ids[i, target_lengths[i] - 1] = 2
+    situations = rng.rand(batch, GRID, GRID, CHANNELS).astype(np.float32)
+    return input_ids, input_lengths, situations, target_ids, target_lengths
+
+
+@pytest.mark.parametrize("conditional", [True, False])
+def test_forward_parity(conditional):
+    config = _make_config(conditional_attention=conditional)
+    ref = _make_reference_model(config)
+    ref.eval()
+    params = _params_from_reference(ref, config)
+
+    input_ids, input_lengths, situations, target_ids, target_lengths = \
+        _make_batch()
+
+    with torch.no_grad():
+        ref_scores, ref_aux = ref(
+            commands_input=torch.tensor(input_ids),
+            commands_lengths=list(input_lengths),
+            situations_input=torch.tensor(situations),
+            target_batch=torch.tensor(target_ids),
+            target_lengths=list(target_lengths))
+
+    log_probs, aux_scores = forward(
+        params, config, jnp.asarray(input_ids), jnp.asarray(input_lengths),
+        jnp.asarray(situations), jnp.asarray(target_ids), deterministic=True)
+
+    np.testing.assert_allclose(np.asarray(log_probs),
+                               ref_scores.numpy(), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(aux_scores), ref_aux.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_loss_and_metrics_parity():
+    config = _make_config()
+    ref = _make_reference_model(config)
+    ref.eval()
+    params = _params_from_reference(ref, config)
+    input_ids, input_lengths, situations, target_ids, target_lengths = \
+        _make_batch(seed=7)
+
+    with torch.no_grad():
+        ref_scores, _ = ref(
+            commands_input=torch.tensor(input_ids),
+            commands_lengths=list(input_lengths),
+            situations_input=torch.tensor(situations),
+            target_batch=torch.tensor(target_ids),
+            target_lengths=list(target_lengths))
+        ref_loss = ref.get_loss(ref_scores, torch.tensor(target_ids))
+        ref_acc, ref_em = ref.get_metrics(ref_scores, torch.tensor(target_ids))
+
+    log_probs, _ = forward(
+        params, config, jnp.asarray(input_ids), jnp.asarray(input_lengths),
+        jnp.asarray(situations), jnp.asarray(target_ids), deterministic=True)
+    loss = get_loss(config, log_probs, jnp.asarray(target_ids))
+    accuracy, exact_match = get_metrics(config, log_probs,
+                                        jnp.asarray(target_ids))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-4)
+    np.testing.assert_allclose(float(accuracy), float(ref_acc), atol=1e-3)
+    np.testing.assert_allclose(float(exact_match), float(ref_em), atol=1e-3)
+
+
+def test_param_count_matches_reference_config():
+    """440,275 params for the canonical compositional-splits configuration
+    (reference documentation/training_logs/adverb_run_1.txt:58 — the parameter
+    dump shows conv_3 as 7x7, i.e. cnn_kernel_size 7, despite the flag line
+    printing 1)."""
+    from multimodal_seq2seq_gscan_tpu.models import count_parameters
+    config = ModelConfig(
+        input_vocabulary_size=21, target_vocabulary_size=9,
+        num_cnn_channels=16, embedding_dimension=25, encoder_hidden_size=100,
+        decoder_hidden_size=100, cnn_kernel_size=7, cnn_hidden_num_channels=50,
+        conditional_attention=True)
+    params = init_model_params(jax.random.PRNGKey(0), config)
+    assert count_parameters(params) == 440275
