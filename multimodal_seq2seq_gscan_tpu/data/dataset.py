@@ -1,0 +1,251 @@
+"""ML data pipeline: dataset.txt -> padded numpy batches for the device.
+
+Replaces the reference's GroundedScanDataset (seq2seq/gSCAN_dataset.py:105-315)
+with a TPU-friendly design:
+
+- tokenize + vectorize ONCE into contiguous numpy arrays (no per-example torch
+  tensors, no device transfer until batching);
+- situations stored as compact uint8 dense grids (from the vectorized encoder —
+  no world re-simulation at load time);
+- batches padded to a *bucketed* max length so XLA sees a handful of static
+  shapes instead of one per batch (steady state: zero recompiles);
+- batch iterator optionally pads the final partial batch up to full size with
+  a validity mask, keeping shapes static.
+"""
+
+import logging
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from multimodal_seq2seq_gscan_tpu.core.batch import Batch
+from multimodal_seq2seq_gscan_tpu.core.vocabulary import Vocabulary
+from multimodal_seq2seq_gscan_tpu.gscan.dataset import GroundedScan
+
+logger = logging.getLogger(__name__)
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return ((value + multiple - 1) // multiple) * multiple
+
+
+class GroundedScanDataset:
+    """Loads a gSCAN split and serves padded, bucketed batches."""
+
+    def __init__(self, path_to_data: str, save_directory: str, k: int,
+                 split: str = "train", input_vocabulary_file: str = "",
+                 target_vocabulary_file: str = "",
+                 generate_vocabulary: bool = False,
+                 length_bucket_size: int = 8):
+        assert os.path.exists(path_to_data), (
+            "Trying to read a gSCAN dataset from a non-existing file {}.".format(
+                path_to_data))
+        if not generate_vocabulary:
+            assert os.path.exists(os.path.join(
+                save_directory, input_vocabulary_file)) and os.path.exists(
+                os.path.join(save_directory, target_vocabulary_file)), (
+                "Trying to load vocabularies from non-existing files.")
+        if split == "test" and generate_vocabulary:
+            logger.warning("WARNING: generating a vocabulary from the test set.")
+        self.dataset = GroundedScan.load_dataset_from_file(
+            path_to_data, save_directory=save_directory, k=k)
+        if self.dataset._data_statistics.get("adverb_1"):
+            self._log_verb_adverb_statistics()
+        self.image_dimensions: Optional[int] = None
+        self.image_channels: Optional[int] = None
+        self.split = split
+        self.directory = save_directory
+        self.length_bucket_size = length_bucket_size
+
+        # Columnar example storage (filled by read_dataset).
+        self._input_ids: List[np.ndarray] = []
+        self._target_ids: List[np.ndarray] = []
+        self._situations: List[np.ndarray] = []
+        self._agent_positions: Optional[np.ndarray] = None
+        self._target_positions: Optional[np.ndarray] = None
+        self._input_lengths = np.array([], dtype=np.int32)
+        self._target_lengths = np.array([], dtype=np.int32)
+        self._situation_representations: List[dict] = []
+        self._derivation_representations: List[str] = []
+        self._order = np.array([], dtype=np.int64)
+
+        if generate_vocabulary:
+            logger.info("Generating vocabularies...")
+            self.input_vocabulary = Vocabulary()
+            self.target_vocabulary = Vocabulary()
+            self.read_vocabularies()
+            logger.info("Done generating vocabularies.")
+        else:
+            logger.info("Loading vocabularies...")
+            self.input_vocabulary = Vocabulary.load(
+                os.path.join(save_directory, input_vocabulary_file))
+            self.target_vocabulary = Vocabulary.load(
+                os.path.join(save_directory, target_vocabulary_file))
+            logger.info("Done loading vocabularies.")
+
+    def _log_verb_adverb_statistics(self):
+        for split_name in ("train", "dev"):
+            stats = self.dataset._data_statistics.get(split_name, {})
+            combos = stats.get("verb_adverb_combinations", {})
+            logger.info("Verb-adverb combinations in %s set:", split_name)
+            for adverb, items in combos.items():
+                logger.info("Verbs for adverb: {}".format(adverb))
+                for key, count in items.items():
+                    logger.info("   {}: {} occurrences.".format(key, count))
+
+    # ------------------------------------------------------------------
+    # Vocabulary handling
+    # ------------------------------------------------------------------
+
+    def read_vocabularies(self):
+        for example in self.dataset._data_pairs[self.split]:
+            self.input_vocabulary.add_sentence(
+                example["command"].split(","))
+            self.target_vocabulary.add_sentence(
+                example["target_commands"].split(","))
+
+    def save_vocabularies(self, input_vocabulary_file: str,
+                          target_vocabulary_file: str):
+        self.input_vocabulary.save(
+            os.path.join(self.directory, input_vocabulary_file))
+        self.target_vocabulary.save(
+            os.path.join(self.directory, target_vocabulary_file))
+
+    def get_vocabulary(self, vocabulary: str) -> Vocabulary:
+        if vocabulary == "input":
+            return self.input_vocabulary
+        elif vocabulary == "target":
+            return self.target_vocabulary
+        raise ValueError("Specified unknown vocabulary in "
+                         "sentence_to_array: {}".format(vocabulary))
+
+    def sentence_to_array(self, sentence: List[str], vocabulary: str) -> List[int]:
+        return self.get_vocabulary(vocabulary).sentence_to_array(sentence)
+
+    def array_to_sentence(self, sentence_array: List[int],
+                          vocabulary: str) -> List[str]:
+        return self.get_vocabulary(vocabulary).array_to_sentence(sentence_array)
+
+    # ------------------------------------------------------------------
+    # Vectorization
+    # ------------------------------------------------------------------
+
+    def read_dataset(self, max_examples: Optional[int] = None,
+                     simple_situation_representation: bool = True):
+        """Tokenize and vectorize every example once into numpy columns."""
+        logger.info("Converting dataset to arrays...")
+        if not simple_situation_representation:
+            raise NotImplementedError(
+                "Full RGB input image not implemented. Implement or set "
+                "simple_situation_representation.")
+        agent_positions = []
+        target_positions = []
+        for i, example in enumerate(self.dataset.get_examples_with_image(
+                self.split, simple_situation_representation)):
+            if max_examples and len(self._input_ids) >= max_examples:
+                break
+            input_array = np.asarray(self.sentence_to_array(
+                example["input_command"], "input"), dtype=np.int32)
+            target_array = np.asarray(self.sentence_to_array(
+                example["target_command"], "target"), dtype=np.int32)
+            situation = example["situation_image"]
+            if self.image_dimensions is None:
+                self.image_dimensions = situation.shape[0]
+                self.image_channels = situation.shape[-1]
+            rep = example["situation_representation"]
+            grid = int(rep["grid_size"])
+            agent_positions.append(
+                int(rep["agent_position"]["row"]) * grid
+                + int(rep["agent_position"]["column"]))
+            target_positions.append(
+                int(rep["target_object"]["position"]["row"]) * grid
+                + int(rep["target_object"]["position"]["column"]))
+            self._input_ids.append(input_array)
+            self._target_ids.append(target_array)
+            self._situations.append(situation)  # uint8, compact
+            self._situation_representations.append(rep)
+            self._derivation_representations.append(
+                example["derivation_representation"])
+        self._input_lengths = np.array([len(a) for a in self._input_ids],
+                                       dtype=np.int32)
+        self._target_lengths = np.array([len(a) for a in self._target_ids],
+                                        dtype=np.int32)
+        self._agent_positions = np.array(agent_positions, dtype=np.int32)
+        self._target_positions = np.array(target_positions, dtype=np.int32)
+        self._order = np.arange(len(self._input_ids), dtype=np.int64)
+        logger.info("Done converting %d examples.", len(self._input_ids))
+
+    # ------------------------------------------------------------------
+    # Batching
+    # ------------------------------------------------------------------
+
+    def shuffle_data(self, rng: Optional[np.random.Generator] = None):
+        if rng is None:
+            self._order = np.random.permutation(len(self._input_ids))
+        else:
+            self._order = rng.permutation(len(self._input_ids))
+
+    def _bucketed_length(self, length: int) -> int:
+        return _round_up(max(int(length), 2), self.length_bucket_size)
+
+    def get_data_iterator(self, batch_size: int = 10,
+                          pad_to_full_batch: bool = False
+                          ) -> Iterator[Tuple[Batch, np.ndarray, List[dict],
+                                              List[str]]]:
+        """Yield (Batch, example_indices, situation_reprs, derivation_reprs).
+
+        Sequence dims are padded to the bucketed max length of the batch;
+        with ``pad_to_full_batch`` the batch dim is also static (short final
+        batches padded with zero rows — rows beyond len(example_indices)).
+        """
+        n = len(self._order)
+        for start in range(0, n, batch_size):
+            idx = self._order[start:start + batch_size]
+            actual = len(idx)
+            rows = batch_size if pad_to_full_batch else actual
+            max_in = self._bucketed_length(self._input_lengths[idx].max())
+            max_out = self._bucketed_length(self._target_lengths[idx].max())
+            input_ids = np.zeros((rows, max_in), dtype=np.int32)
+            target_ids = np.zeros((rows, max_out), dtype=np.int32)
+            situations = np.zeros(
+                (rows, self.image_dimensions, self.image_dimensions,
+                 self.image_channels), dtype=np.float32)
+            input_lengths = np.zeros((rows,), dtype=np.int32)
+            target_lengths = np.zeros((rows,), dtype=np.int32)
+            agent_positions = np.zeros((rows,), dtype=np.int32)
+            target_positions = np.zeros((rows,), dtype=np.int32)
+            situation_reprs = []
+            derivation_reprs = []
+            for row, example_idx in enumerate(idx):
+                inp = self._input_ids[example_idx]
+                tgt = self._target_ids[example_idx]
+                input_ids[row, :len(inp)] = inp
+                target_ids[row, :len(tgt)] = tgt
+                situations[row] = self._situations[example_idx]
+                input_lengths[row] = len(inp)
+                target_lengths[row] = len(tgt)
+                agent_positions[row] = self._agent_positions[example_idx]
+                target_positions[row] = self._target_positions[example_idx]
+                situation_reprs.append(
+                    self._situation_representations[example_idx])
+                derivation_reprs.append(
+                    self._derivation_representations[example_idx])
+            batch = Batch(input_ids=input_ids, input_lengths=input_lengths,
+                          situations=situations, target_ids=target_ids,
+                          target_lengths=target_lengths,
+                          agent_positions=agent_positions,
+                          target_positions=target_positions)
+            yield batch, idx, situation_reprs, derivation_reprs
+
+    @property
+    def num_examples(self) -> int:
+        return len(self._input_ids)
+
+    @property
+    def input_vocabulary_size(self) -> int:
+        return self.input_vocabulary.size
+
+    @property
+    def target_vocabulary_size(self) -> int:
+        return self.target_vocabulary.size

@@ -254,8 +254,12 @@ def get_metrics(config: ModelConfig, target_log_probs: jax.Array,
     accuracy = 100.0 * jnp.sum(correct) / total
     per_example_correct = jnp.sum(correct, axis=1)
     per_example_total = jnp.sum(mask, axis=1)
-    exact = 100.0 * jnp.mean(
-        (per_example_correct == per_example_total).astype(jnp.float32))
+    # Padded batch slots (all-pad targets) are excluded from exact match.
+    valid_example = per_example_total > 0
+    matched = jnp.logical_and(per_example_correct == per_example_total,
+                              valid_example)
+    num_valid = jnp.maximum(jnp.sum(valid_example), 1)
+    exact = 100.0 * jnp.sum(matched) / num_valid
     return accuracy, exact
 
 

@@ -99,7 +99,10 @@ def additive_attention(params: AttentionParams, queries: jax.Array,
     projected_queries = queries @ params.query_w  # [B, H]
     scores = jnp.tanh(projected_queries[:, None, :] + projected_keys)  # [B,M,H]
     scores = (scores @ params.energy_w)[..., 0]  # [B, M]
-    scores = jnp.where(mask > 0, scores, -jnp.inf)
+    # Large-negative (not -inf) fill: masked weights still underflow to exactly
+    # 0, but an all-masked row (a padded batch slot) yields uniform weights
+    # instead of NaN.
+    scores = jnp.where(mask > 0, scores, -1e9)
     weights = jax.nn.softmax(scores, axis=-1)
     context = jnp.einsum("bm,bmv->bv", weights, values)
     return context, weights

@@ -1,0 +1,189 @@
+"""The full training loop: data loading, jitted steps, periodic dev decode,
+best-checkpoint tracking, resume.
+
+Control flow mirrors the reference trainer (seq2seq/train.py:15-154): shuffle
+each epoch, teacher-forced steps, print metrics every ``print_every``, greedy
+dev evaluation every ``evaluate_every`` with best-on-exact-match checkpointing.
+The step itself is one jitted XLA program; dev eval uses the batched decoder
+instead of the reference's batch-1 loop.
+"""
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from multimodal_seq2seq_gscan_tpu.data.dataset import GroundedScanDataset
+from multimodal_seq2seq_gscan_tpu.decode.predict import evaluate
+from multimodal_seq2seq_gscan_tpu.models.config import ModelConfig
+from multimodal_seq2seq_gscan_tpu.train import checkpoint as ckpt
+from multimodal_seq2seq_gscan_tpu.train.state import (
+    TrainState, create_train_state, make_optimizer)
+from multimodal_seq2seq_gscan_tpu.train.step import make_train_step
+from multimodal_seq2seq_gscan_tpu.utils.logging import log_parameters
+
+logger = logging.getLogger(__name__)
+
+
+def train(data_path: str, data_directory: str, generate_vocabularies: bool,
+          input_vocab_path: str, target_vocab_path: str,
+          embedding_dimension: int, num_encoder_layers: int,
+          encoder_dropout_p: float, encoder_bidirectional: bool,
+          training_batch_size: int, test_batch_size: int,
+          max_decoding_steps: int, num_decoder_layers: int,
+          decoder_dropout_p: float, cnn_kernel_size: int, cnn_dropout_p: float,
+          cnn_hidden_num_channels: int, simple_situation_representation: bool,
+          decoder_hidden_size: int, encoder_hidden_size: int,
+          learning_rate: float, adam_beta_1: float, adam_beta_2: float,
+          lr_decay: float, lr_decay_steps: int, resume_from_file: str,
+          max_training_iterations: int, output_directory: str,
+          print_every: int, evaluate_every: int, conditional_attention: bool,
+          auxiliary_task: bool, weight_target_loss: float, attention_type: str,
+          k: int, max_training_examples=None, seed=42, mesh=None,
+          max_testing_examples=None, evaluation_batch_size: int = 256,
+          **kwargs):
+    logger.info("Loading Training set...")
+    training_set = GroundedScanDataset(
+        data_path, data_directory, split="train",
+        input_vocabulary_file=input_vocab_path,
+        target_vocabulary_file=target_vocab_path,
+        generate_vocabulary=generate_vocabularies, k=k)
+    training_set.read_dataset(
+        max_examples=max_training_examples,
+        simple_situation_representation=simple_situation_representation)
+    logger.info("Done Loading Training set.")
+    logger.info("  Loaded {} training examples.".format(
+        training_set.num_examples))
+    logger.info("  Input vocabulary size training set: {}".format(
+        training_set.input_vocabulary_size))
+    logger.info("  Most common input words: {}".format(
+        training_set.input_vocabulary.most_common(5)))
+    logger.info("  Output vocabulary size training set: {}".format(
+        training_set.target_vocabulary_size))
+    logger.info("  Most common target words: {}".format(
+        training_set.target_vocabulary.most_common(5)))
+
+    if generate_vocabularies:
+        training_set.save_vocabularies(input_vocab_path, target_vocab_path)
+        logger.info("Saved vocabularies to {} for input and {} for "
+                    "target.".format(input_vocab_path, target_vocab_path))
+
+    logger.info("Loading Dev. set...")
+    dev_set = GroundedScanDataset(
+        data_path, data_directory, split="dev",
+        input_vocabulary_file=input_vocab_path,
+        target_vocabulary_file=target_vocab_path, generate_vocabulary=False,
+        k=0)
+    dev_set.read_dataset(
+        max_examples=None,
+        simple_situation_representation=simple_situation_representation)
+    dev_set.shuffle_data()
+    logger.info("Done Loading Dev. set.")
+
+    config = ModelConfig(
+        input_vocabulary_size=training_set.input_vocabulary_size,
+        target_vocabulary_size=training_set.target_vocabulary_size,
+        num_cnn_channels=training_set.image_channels,
+        embedding_dimension=embedding_dimension,
+        encoder_hidden_size=encoder_hidden_size,
+        decoder_hidden_size=decoder_hidden_size,
+        num_encoder_layers=num_encoder_layers,
+        num_decoder_layers=num_decoder_layers,
+        encoder_bidirectional=encoder_bidirectional,
+        cnn_kernel_size=cnn_kernel_size,
+        cnn_hidden_num_channels=cnn_hidden_num_channels,
+        encoder_dropout_p=encoder_dropout_p,
+        decoder_dropout_p=decoder_dropout_p, cnn_dropout_p=cnn_dropout_p,
+        conditional_attention=conditional_attention,
+        auxiliary_task=auxiliary_task, attention_type=attention_type,
+        input_padding_idx=training_set.input_vocabulary.pad_idx,
+        target_pad_idx=training_set.target_vocabulary.pad_idx,
+        target_sos_idx=training_set.target_vocabulary.sos_idx,
+        target_eos_idx=training_set.target_vocabulary.eos_idx)
+    if attention_type != "bahdanau":
+        raise NotImplementedError(
+            "Luong attention not correctly implemented in the reference; only "
+            "'bahdanau' is supported.")
+
+    optimizer = make_optimizer(learning_rate=learning_rate,
+                               adam_beta_1=adam_beta_1,
+                               adam_beta_2=adam_beta_2, lr_decay=lr_decay,
+                               lr_decay_steps=lr_decay_steps)
+    state = create_train_state(jax.random.PRNGKey(seed), config, optimizer)
+    log_parameters(state.params)
+    train_step = make_train_step(config, optimizer,
+                                 weight_target_loss=weight_target_loss,
+                                 mesh=mesh)
+
+    start_iteration = 1
+    best_iteration = 1
+    best_accuracy = 0.0
+    best_exact_match = 0.0
+    if resume_from_file:
+        state, meta = ckpt.load_checkpoint(resume_from_file, state)
+        start_iteration = meta["iteration"]
+        best_iteration = meta["best_iteration"]
+        best_accuracy = meta["best_accuracy"]
+        best_exact_match = meta["best_exact_match"]
+
+    lr_fn = (lambda step: learning_rate * (lr_decay ** (step / lr_decay_steps)))
+
+    logger.info("Training starts..")
+    training_iteration = start_iteration
+    epoch_rng = np.random.default_rng(seed)
+    window_start = time.time()
+    window_steps = 0
+    while training_iteration < max_training_iterations:
+        training_set.shuffle_data(epoch_rng)
+        for batch, _, _, _ in training_set.get_data_iterator(
+                batch_size=training_batch_size, pad_to_full_batch=True):
+            is_best = False
+            state, metrics = train_step(state, batch)
+            window_steps += 1
+
+            if training_iteration % print_every == 0:
+                metrics = jax.device_get(metrics)
+                elapsed = time.time() - window_start
+                steps_per_s = window_steps / max(elapsed, 1e-9)
+                window_start, window_steps = time.time(), 0
+                logger.info(
+                    "Iteration %08d, loss %8.4f, accuracy %5.2f, exact match "
+                    "%5.2f, learning_rate %.5f, aux. accuracy target pos %5.2f,"
+                    " steps/s %6.2f"
+                    % (training_iteration, metrics["loss"],
+                       metrics["accuracy"], metrics["exact_match"],
+                       lr_fn(training_iteration - 1),
+                       metrics["aux_accuracy"], steps_per_s))
+
+            if training_iteration % evaluate_every == 0:
+                logger.info("Evaluating..")
+                accuracy, exact_match, target_accuracy = evaluate(
+                    dev_set, state.params, config,
+                    max_decoding_steps=max_decoding_steps,
+                    batch_size=evaluation_batch_size,
+                    max_examples_to_evaluate=max_testing_examples)
+                logger.info(
+                    "  Evaluation Accuracy: %5.2f Exact Match: %5.2f "
+                    " Target Accuracy: %5.2f"
+                    % (accuracy, exact_match, target_accuracy))
+                if exact_match > best_exact_match:
+                    is_best = True
+                    best_accuracy = accuracy
+                    best_exact_match = exact_match
+                    best_iteration = training_iteration
+                if is_best:
+                    ckpt.save_checkpoint(
+                        output_directory, state, is_best=is_best,
+                        best_iteration=best_iteration,
+                        best_accuracy=best_accuracy,
+                        best_exact_match=best_exact_match)
+                window_start, window_steps = time.time(), 0
+
+            training_iteration += 1
+            if training_iteration > max_training_iterations:
+                break
+    logger.info("Finished training.")
+    return state, config

@@ -1,0 +1,158 @@
+"""End-to-end smoke: generate -> load -> train -> decode -> predict.json.
+
+Exercises the full vertical slice on a tiny generated dataset, plus the
+8-virtual-device data-parallel training path.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_seq2seq_gscan_tpu.data.dataset import GroundedScanDataset
+from multimodal_seq2seq_gscan_tpu.decode.predict import evaluate, predict_and_save
+from multimodal_seq2seq_gscan_tpu.gscan import GroundedScan
+from multimodal_seq2seq_gscan_tpu.models import ModelConfig
+from multimodal_seq2seq_gscan_tpu.parallel import make_mesh, shard_batch
+from multimodal_seq2seq_gscan_tpu.train.state import (
+    create_train_state, make_optimizer)
+from multimodal_seq2seq_gscan_tpu.train.step import make_train_step
+from multimodal_seq2seq_gscan_tpu.train import checkpoint as ckpt
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset_dir(tmp_path_factory):
+    """Generate a small uniform-split dataset to a temp directory."""
+    directory = str(tmp_path_factory.mktemp("tiny_gscan"))
+    import random
+    random.seed(11)
+    np.random.seed(11)
+    dataset = GroundedScan(
+        intransitive_verbs=["walk"], transitive_verbs=["push"],
+        adverbs=[], nouns=["circle", "square"],
+        color_adjectives=["red", "green"], size_adjectives=["big", "small"],
+        percentage_train=0.8, min_object_size=1, max_object_size=4,
+        sample_vocabulary="default", save_directory=directory, grid_size=6,
+        type_grammar="normal")
+    dataset.get_data_pairs(max_examples=400, num_resampling=1,
+                           split_type="uniform", make_dev_set=True)
+    dataset.save_dataset("dataset.txt")
+    return directory
+
+
+@pytest.fixture(scope="module")
+def loaded_sets(tiny_dataset_dir):
+    data_path = os.path.join(tiny_dataset_dir, "dataset.txt")
+    train_set = GroundedScanDataset(
+        data_path, tiny_dataset_dir, k=0, split="train",
+        input_vocabulary_file="input_vocab.txt",
+        target_vocabulary_file="target_vocab.txt", generate_vocabulary=True)
+    train_set.read_dataset()
+    train_set.save_vocabularies("input_vocab.txt", "target_vocab.txt")
+    test_set = GroundedScanDataset(
+        data_path, tiny_dataset_dir, k=0, split="test",
+        input_vocabulary_file="input_vocab.txt",
+        target_vocabulary_file="target_vocab.txt", generate_vocabulary=False)
+    test_set.read_dataset()
+    return train_set, test_set
+
+
+def _make_config(train_set):
+    return ModelConfig(
+        input_vocabulary_size=train_set.input_vocabulary_size,
+        target_vocabulary_size=train_set.target_vocabulary_size,
+        num_cnn_channels=train_set.image_channels,
+        embedding_dimension=16, encoder_hidden_size=24,
+        decoder_hidden_size=24, cnn_kernel_size=3, cnn_hidden_num_channels=12,
+        auxiliary_task=False)
+
+
+def test_vocabularies(loaded_sets):
+    train_set, _ = loaded_sets
+    assert train_set.input_vocabulary.pad_idx == 0
+    assert train_set.input_vocabulary.sos_idx == 1
+    assert train_set.input_vocabulary.eos_idx == 2
+    # 6 actions + 3 specials (walk, push, stay?, turn left, turn right...)
+    assert train_set.target_vocabulary_size >= 6
+    assert train_set.num_examples > 50
+
+
+def test_train_loss_decreases_and_decode(loaded_sets, tiny_dataset_dir):
+    train_set, test_set = loaded_sets
+    config = _make_config(train_set)
+    optimizer = make_optimizer(learning_rate=0.005)
+    state = create_train_state(jax.random.PRNGKey(0), config, optimizer)
+    train_step = make_train_step(config, optimizer)
+
+    losses = []
+    for epoch in range(6):
+        train_set.shuffle_data(np.random.default_rng(epoch))
+        for batch, _, _, _ in train_set.get_data_iterator(
+                batch_size=32, pad_to_full_batch=True):
+            state, metrics = train_step(state, batch)
+            losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+    # Batched greedy decode + canonical predict.json.
+    out_path = os.path.join(tiny_dataset_dir, "predict.json")
+    predict_and_save(test_set, state.params, config, out_path,
+                     max_decoding_steps=30, batch_size=16)
+    with open(out_path) as f:
+        records = json.load(f)
+    assert len(records) == test_set.num_examples
+    record = records[0]
+    for key in ("input", "prediction", "derivation", "target", "situation",
+                "attention_weights_input", "attention_weights_situation",
+                "accuracy", "exact_match", "position_accuracy"):
+        assert key in record, key
+    assert isinstance(record["derivation"], list)
+    assert isinstance(record["situation"], list)
+    # attention stacks align 1:1 with the predicted tokens
+    assert len(record["attention_weights_situation"]) == \
+        len(record["prediction"])
+    assert len(record["attention_weights_input"][0][0]) == \
+        len(record["input"]) + 2
+
+    accuracy, exact_match, _ = evaluate(test_set, state.params, config,
+                                        max_decoding_steps=30, batch_size=16)
+    assert 0.0 <= accuracy <= 100.0
+    assert 0.0 <= exact_match <= 100.0
+
+    # Checkpoint round-trip.
+    path = ckpt.save_checkpoint(tiny_dataset_dir, state, is_best=True,
+                                best_iteration=7, best_accuracy=accuracy,
+                                best_exact_match=exact_match)
+    template = create_train_state(jax.random.PRNGKey(1), config, optimizer)
+    restored, meta = ckpt.load_checkpoint(path, template)
+    assert meta["best_iteration"] == 7
+    np.testing.assert_allclose(
+        np.asarray(restored.params.enc_to_dec_w),
+        np.asarray(state.params.enc_to_dec_w))
+    assert os.path.exists(os.path.join(tiny_dataset_dir,
+                                       ckpt.BEST_CHECKPOINT_FILE))
+
+
+def test_data_parallel_training_on_mesh(loaded_sets):
+    """One train step on the 8-virtual-device CPU mesh, sharded over 'data'."""
+    train_set, _ = loaded_sets
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    mesh = make_mesh()
+    config = _make_config(train_set)
+    optimizer = make_optimizer()
+    state = create_train_state(jax.random.PRNGKey(0), config, optimizer)
+    train_step = make_train_step(config, optimizer, mesh=mesh)
+
+    batch, _, _, _ = next(train_set.get_data_iterator(
+        batch_size=32, pad_to_full_batch=True))
+    sharded = shard_batch(mesh, batch)
+    state, metrics = train_step(state, sharded)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # The sharded step must agree with the single-device step.
+    state2 = create_train_state(jax.random.PRNGKey(0), config, optimizer)
+    single_step = make_train_step(config, optimizer)
+    state2, metrics2 = single_step(state2, batch)
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics2["loss"]), rtol=1e-5)
