@@ -174,12 +174,15 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
                     best_accuracy = accuracy
                     best_exact_match = exact_match
                     best_iteration = training_iteration
-                if is_best:
-                    ckpt.save_checkpoint(
-                        output_directory, state, is_best=is_best,
-                        best_iteration=best_iteration,
-                        best_accuracy=best_accuracy,
-                        best_exact_match=best_exact_match)
+                # Always persist the running checkpoint (the reference only
+                # wrote on improvement, train.py:147-149, leaving no resume
+                # point before the first improvement); the best copy is still
+                # gated on dev exact match.
+                ckpt.save_checkpoint(
+                    output_directory, state, is_best=is_best,
+                    best_iteration=best_iteration,
+                    best_accuracy=best_accuracy,
+                    best_exact_match=best_exact_match)
                 window_start, window_steps = time.time(), 0
 
             training_iteration += 1
