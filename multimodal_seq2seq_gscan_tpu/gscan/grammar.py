@@ -449,6 +449,10 @@ class Grammar:
         lexicon = {}
         for symbol in derivation_template:
             if isinstance(symbol, Nonterminal):
+                if not self.rules.get(symbol):
+                    # A category with no lexical rules (e.g. transitive verbs
+                    # not specified): no command can instantiate this template.
+                    return []
                 possible_words = [s.name for s in self.rules[symbol]]
                 for rule in self.rules[symbol]:
                     lexicon[rule.name] = rule
