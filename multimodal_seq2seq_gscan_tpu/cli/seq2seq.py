@@ -142,6 +142,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     # Other arguments.
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="If set, capture a jax.profiler device trace of "
+                             "a window of training steps to this directory.")
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="If > 1, train data-parallel over this many "
                              "devices (mesh over the 'data' axis).")

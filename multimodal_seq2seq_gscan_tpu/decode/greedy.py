@@ -45,8 +45,15 @@ class GreedyDecodeOutput(NamedTuple):
     position_accuracy: jax.Array
 
 
-def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int):
-    """Build a jitted batched greedy decoder."""
+def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
+                        early_exit: bool = True):
+    """Build a jitted batched greedy decoder.
+
+    With ``early_exit`` (default) the time loop is a ``lax.while_loop`` that
+    stops as soon as every example in the batch has emitted EOS — on real data
+    (targets ~15 tokens, cap 120) this saves ~8x device time over always
+    unrolling all steps. Output buffers stay statically shaped [B, S].
+    """
     num_steps = max_decoding_steps + 1  # reference loops while iter <= max.
 
     def greedy_decode(params: ModelParams, input_ids, input_lengths, situations,
@@ -59,8 +66,7 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int):
         start_tokens = jnp.full((batch,), config.target_sos_idx, jnp.int32)
         done0 = jnp.zeros((batch,), jnp.bool_)
 
-        def step(carry, _):
-            tokens, hidden, done = carry
+        def step_compute(tokens, hidden, done):
             logits, new_hidden, attn_cmd, attn_sit = decoder_step(
                 params, config, tokens, hidden, projected_textual,
                 encoded.command_mask, projected_visual, deterministic=True)
@@ -75,12 +81,52 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int):
             new_done = jnp.logical_or(done,
                                       next_tokens == config.target_eos_idx)
             carry_tokens = jnp.where(emitting, next_tokens, tokens)
-            return ((carry_tokens, new_hidden, new_done),
-                    (tokens_out, emitting.astype(jnp.float32), attn_cmd,
-                     attn_sit))
+            return (carry_tokens, new_hidden, new_done, tokens_out,
+                    emitting.astype(jnp.float32), attn_cmd, attn_sit)
 
-        (_, _, _), (tokens, emitted, attn_cmd, attn_sit) = lax.scan(
-            step, (start_tokens, hidden, done0), None, length=num_steps)
+        if early_exit:
+            m_t = projected_textual.shape[1]
+            m_v = projected_visual.shape[1]
+            tokens_buf = jnp.zeros((num_steps, batch), jnp.int32)
+            emitted_buf = jnp.zeros((num_steps, batch), jnp.float32)
+            attn_cmd_buf = jnp.zeros((num_steps, batch, m_t), jnp.float32)
+            attn_sit_buf = jnp.zeros((num_steps, batch, m_v), jnp.float32)
+
+            def cond(state):
+                step_idx, _, _, done, _, _, _, _ = state
+                return jnp.logical_and(step_idx < num_steps,
+                                       jnp.logical_not(jnp.all(done)))
+
+            def body(state):
+                (step_idx, tokens, hidden, done, tokens_buf, emitted_buf,
+                 attn_cmd_buf, attn_sit_buf) = state
+                (carry_tokens, new_hidden, new_done, tokens_out, emitting,
+                 attn_cmd, attn_sit) = step_compute(tokens, hidden, done)
+                tokens_buf = lax.dynamic_update_index_in_dim(
+                    tokens_buf, tokens_out, step_idx, 0)
+                emitted_buf = lax.dynamic_update_index_in_dim(
+                    emitted_buf, emitting, step_idx, 0)
+                attn_cmd_buf = lax.dynamic_update_index_in_dim(
+                    attn_cmd_buf, attn_cmd, step_idx, 0)
+                attn_sit_buf = lax.dynamic_update_index_in_dim(
+                    attn_sit_buf, attn_sit, step_idx, 0)
+                return (step_idx + 1, carry_tokens, new_hidden, new_done,
+                        tokens_buf, emitted_buf, attn_cmd_buf, attn_sit_buf)
+
+            state = (jnp.int32(0), start_tokens, hidden, done0, tokens_buf,
+                     emitted_buf, attn_cmd_buf, attn_sit_buf)
+            (_, _, _, _, tokens, emitted, attn_cmd, attn_sit) = \
+                lax.while_loop(cond, body, state)
+        else:
+            def step(carry, _):
+                tokens, hidden, done = carry
+                (carry_tokens, new_hidden, new_done, tokens_out, emitting,
+                 attn_cmd, attn_sit) = step_compute(tokens, hidden, done)
+                return ((carry_tokens, new_hidden, new_done),
+                        (tokens_out, emitting, attn_cmd, attn_sit))
+
+            (_, _, _), (tokens, emitted, attn_cmd, attn_sit) = lax.scan(
+                step, (start_tokens, hidden, done0), None, length=num_steps)
 
         tokens = jnp.swapaxes(tokens, 0, 1)          # [B, S]
         emitted = jnp.swapaxes(emitted, 0, 1)        # [B, S]

@@ -44,7 +44,7 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
           auxiliary_task: bool, weight_target_loss: float, attention_type: str,
           k: int, max_training_examples=None, seed=42, mesh=None,
           max_testing_examples=None, evaluation_batch_size: int = 256,
-          **kwargs):
+          profile_dir: str = "", **kwargs):
     logger.info("Loading Training set...")
     training_set = GroundedScanDataset(
         data_path, data_directory, split="train",
@@ -131,6 +131,9 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
 
     lr_fn = (lambda step: learning_rate * (lr_decay ** (step / lr_decay_steps)))
 
+    from multimodal_seq2seq_gscan_tpu.utils.profiling import StepProfiler
+    profiler = StepProfiler(profile_dir, start_step=start_iteration + 20)
+
     logger.info("Training starts..")
     training_iteration = start_iteration
     epoch_rng = np.random.default_rng(seed)
@@ -141,7 +144,9 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
         for batch, _, _, _ in training_set.get_data_iterator(
                 batch_size=training_batch_size, pad_to_full_batch=True):
             is_best = False
+            profiler.maybe_start(training_iteration)
             state, metrics = train_step(state, batch)
+            profiler.maybe_stop(training_iteration)
             window_steps += 1
 
             if training_iteration % print_every == 0:
@@ -188,5 +193,6 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
             training_iteration += 1
             if training_iteration > max_training_iterations:
                 break
+    profiler.close()
     logger.info("Finished training.")
     return state, config
