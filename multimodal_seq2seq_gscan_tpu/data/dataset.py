@@ -180,11 +180,33 @@ class GroundedScanDataset:
     # Batching
     # ------------------------------------------------------------------
 
-    def shuffle_data(self, rng: Optional[np.random.Generator] = None):
+    def shuffle_data(self, rng: Optional[np.random.Generator] = None,
+                     bucket_by_length_with_batch_size: Optional[int] = None):
+        """Random permutation; optionally length-homogenized for training.
+
+        With ``bucket_by_length_with_batch_size`` the permutation is reordered
+        so consecutive batches have similar target lengths (sort within
+        windows of 64 batches, then shuffle batch order): the padded scan
+        length tracks the batch's true max instead of the global max —
+        a large device-time saving with no change to example frequency.
+        """
         if rng is None:
-            self._order = np.random.permutation(len(self._input_ids))
-        else:
-            self._order = rng.permutation(len(self._input_ids))
+            rng = np.random.default_rng()
+        order = rng.permutation(len(self._input_ids))
+        batch_size = bucket_by_length_with_batch_size
+        if batch_size:
+            window = batch_size * 64
+            pieces = []
+            for start in range(0, len(order), window):
+                chunk = order[start:start + window]
+                chunk = chunk[np.argsort(self._target_lengths[chunk],
+                                         kind="stable")]
+                pieces.append(chunk)
+            order = np.concatenate(pieces) if pieces else order
+            starts = np.arange(0, len(order), batch_size)
+            rng.shuffle(starts)
+            order = np.concatenate([order[s:s + batch_size] for s in starts])
+        self._order = order
 
     def _bucketed_length(self, length: int) -> int:
         return _round_up(max(int(length), 2), self.length_bucket_size)

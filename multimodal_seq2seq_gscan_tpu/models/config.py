@@ -30,6 +30,8 @@ class ModelConfig(NamedTuple):
     conditional_attention: bool = True
     auxiliary_task: bool = False
     attention_type: str = "bahdanau"
+    # "xla" (default; XLA-fused) or "pallas" (fused VMEM kernel, ops/).
+    attention_impl: str = "xla"
 
     input_padding_idx: int = 0
     target_pad_idx: int = 0

@@ -132,7 +132,7 @@ def decoder_step(params: ModelParams, config: ModelConfig,
 
     context_command, attn_commands = additive_attention(
         params.textual_attention, query, projected_textual_keys,
-        projected_textual_keys, command_mask)
+        projected_textual_keys, command_mask, impl=config.attention_impl)
 
     if config.conditional_attention:
         joint = jnp.concatenate([query, context_command], axis=-1)
@@ -144,7 +144,7 @@ def decoder_step(params: ModelParams, config: ModelConfig,
                            projected_visual_keys.dtype)
     context_situation, attn_situations = additive_attention(
         params.visual_attention, visual_query, projected_visual_keys,
-        projected_visual_keys, visual_mask)
+        projected_visual_keys, visual_mask, impl=config.attention_impl)
 
     lstm_input = jnp.concatenate([embedded, context_command, context_situation],
                                  axis=-1)  # [B, 3H]

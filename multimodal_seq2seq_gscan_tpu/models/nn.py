@@ -90,13 +90,23 @@ def sequence_mask(lengths: jax.Array, max_len: int) -> jax.Array:
 
 def additive_attention(params: AttentionParams, queries: jax.Array,
                        projected_keys: jax.Array, values: jax.Array,
-                       mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+                       mask: jax.Array,
+                       impl: str = "xla") -> Tuple[jax.Array, jax.Array]:
     """Bahdanau attention: energy = v . tanh(W_q q + W_k k), masked softmax.
 
     queries: [B, Q], projected_keys: [B, M, H], values: [B, M, V], mask: [B, M].
     Returns (context [B, V], weights [B, M]).
     """
     projected_queries = queries @ params.query_w  # [B, H]
+    if impl == "pallas":
+        # Fused VMEM kernel; assumes values is projected_keys (true for every
+        # call site — the reference passes projected keys as values too).
+        from multimodal_seq2seq_gscan_tpu.ops.pallas_attention import (
+            fused_additive_attention)
+        interpret = jax.default_backend() != "tpu"
+        return fused_additive_attention(projected_queries, projected_keys,
+                                        mask, params.energy_w,
+                                        interpret=interpret)
     scores = jnp.tanh(projected_queries[:, None, :] + projected_keys)  # [B,M,H]
     scores = (scores @ params.energy_w)[..., 0]  # [B, M]
     # Large-negative (not -inf) fill: masked weights still underflow to exactly

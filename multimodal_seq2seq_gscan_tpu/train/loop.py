@@ -140,7 +140,9 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
     window_start = time.time()
     window_steps = 0
     while training_iteration < max_training_iterations:
-        training_set.shuffle_data(epoch_rng)
+        training_set.shuffle_data(
+            epoch_rng,
+            bucket_by_length_with_batch_size=training_batch_size)
         for batch, _, _, _ in training_set.get_data_iterator(
                 batch_size=training_batch_size, pad_to_full_batch=True):
             is_best = False
