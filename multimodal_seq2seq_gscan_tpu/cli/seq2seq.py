@@ -145,6 +145,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile_dir", type=str, default="",
                         help="If set, capture a jax.profiler device trace of "
                              "a window of training steps to this directory.")
+    parser.add_argument("--compilation_cache_dir", type=str,
+                        default=os.path.expanduser("~/.cache/jax_gscan"),
+                        help="Persistent XLA compilation cache (one compile "
+                             "per bucket shape, reused across runs). Empty "
+                             "string disables.")
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="If > 1, train data-parallel over this many "
                              "devices (mesh over the 'data' axis).")
@@ -156,6 +161,13 @@ def main(flags=None):
         flags = vars(build_parser().parse_args())
     for argument, value in flags.items():
         logger.info("{}: {}".format(argument, value))
+
+    if flags.get("compilation_cache_dir"):
+        import jax
+        os.makedirs(flags["compilation_cache_dir"], exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          flags["compilation_cache_dir"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if not os.path.exists(flags["output_directory"]):
         os.makedirs(os.path.join(os.getcwd(), flags["output_directory"]),

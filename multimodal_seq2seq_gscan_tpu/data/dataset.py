@@ -37,7 +37,8 @@ class GroundedScanDataset:
                  split: str = "train", input_vocabulary_file: str = "",
                  target_vocabulary_file: str = "",
                  generate_vocabulary: bool = False,
-                 length_bucket_size: int = 8):
+                 length_bucket_size: int = 8,
+                 dataset: Optional[GroundedScan] = None):
         assert os.path.exists(path_to_data), (
             "Trying to read a gSCAN dataset from a non-existing file {}.".format(
                 path_to_data))
@@ -48,8 +49,11 @@ class GroundedScanDataset:
                 "Trying to load vocabularies from non-existing files.")
         if split == "test" and generate_vocabulary:
             logger.warning("WARNING: generating a vocabulary from the test set.")
-        self.dataset = GroundedScan.load_dataset_from_file(
-            path_to_data, save_directory=save_directory, k=k)
+        # Reuse an already-parsed engine when provided (the reference re-parses
+        # the multi-GB dataset.txt once per split, gSCAN_dataset.py:120).
+        self.dataset = dataset if dataset is not None else \
+            GroundedScan.load_dataset_from_file(
+                path_to_data, save_directory=save_directory, k=k)
         if self.dataset._data_statistics.get("adverb_1"):
             self._log_verb_adverb_statistics()
         self.image_dimensions: Optional[int] = None
