@@ -30,6 +30,34 @@ def _round_up(value: int, multiple: int) -> int:
     return ((value + multiple - 1) // multiple) * multiple
 
 
+class _LazySituationList:
+    """List-like view that json-decodes situation dicts on access."""
+
+    def __init__(self, native_split, n: int):
+        self._split = native_split
+        self._n = n
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i: int) -> dict:
+        return self._split.situation(i)
+
+
+class _LazyDerivationList:
+    """List-like view over derivation strings in the mapped file."""
+
+    def __init__(self, native_split, n: int):
+        self._split = native_split
+        self._n = n
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i: int) -> str:
+        return self._split.derivation(i)
+
+
 class GroundedScanDataset:
     """Loads a gSCAN split and serves padded, bucketed batches."""
 
@@ -38,7 +66,8 @@ class GroundedScanDataset:
                  target_vocabulary_file: str = "",
                  generate_vocabulary: bool = False,
                  length_bucket_size: int = 8,
-                 dataset: Optional[GroundedScan] = None):
+                 dataset: Optional[GroundedScan] = None,
+                 backend: str = "auto"):
         assert os.path.exists(path_to_data), (
             "Trying to read a gSCAN dataset from a non-existing file {}.".format(
                 path_to_data))
@@ -49,13 +78,35 @@ class GroundedScanDataset:
                 "Trying to load vocabularies from non-existing files.")
         if split == "test" and generate_vocabulary:
             logger.warning("WARNING: generating a vocabulary from the test set.")
-        # Reuse an already-parsed engine when provided (the reference re-parses
-        # the multi-GB dataset.txt once per split, gSCAN_dataset.py:120).
-        self.dataset = dataset if dataset is not None else \
-            GroundedScan.load_dataset_from_file(
-                path_to_data, save_directory=save_directory, k=k)
-        if self.dataset._data_statistics.get("adverb_1"):
-            self._log_verb_adverb_statistics()
+        # Backend: "engine" parses through the gscan engine (full capability);
+        # "native" uses the C++ mmap scanner (native/gscan_loader.cc, ~10x
+        # faster load); "auto" prefers native when built / when the engine
+        # isn't needed anyway.
+        from multimodal_seq2seq_gscan_tpu.data import native_loader
+        if backend == "auto":
+            backend = ("native" if dataset is None
+                       and native_loader.is_available() else "engine")
+        self.backend = backend
+        self.dataset: Optional[GroundedScan] = None
+        self._native = None
+        if backend == "native":
+            if isinstance(dataset, native_loader.NativeDataset):
+                self._native = dataset
+            else:
+                logger.info("Loading dataset via native scanner...")
+                self._native = native_loader.NativeDataset(path_to_data)
+                import random as _random
+                self._native.move_k_examples_to_train_and_dev(k, _random)
+                logger.info("Done (native scan).")
+        else:
+            # Reuse an already-parsed engine when provided (the reference
+            # re-parses the multi-GB dataset.txt per split,
+            # gSCAN_dataset.py:120).
+            self.dataset = dataset if dataset is not None else \
+                GroundedScan.load_dataset_from_file(
+                    path_to_data, save_directory=save_directory, k=k)
+            if self.dataset._data_statistics.get("adverb_1"):
+                self._log_verb_adverb_statistics()
         self.image_dimensions: Optional[int] = None
         self.image_channels: Optional[int] = None
         self.split = split
@@ -103,6 +154,14 @@ class GroundedScanDataset:
     # ------------------------------------------------------------------
 
     def read_vocabularies(self):
+        if self._native is not None:
+            native_split = self._native.splits.get(self.split)
+            for i in range(len(native_split)):
+                self.input_vocabulary.add_sentence(
+                    native_split.command(i).split(","))
+                self.target_vocabulary.add_sentence(
+                    native_split.target_commands(i).split(","))
+            return
         for example in self.dataset._data_pairs[self.split]:
             self.input_vocabulary.add_sentence(
                 example["command"].split(","))
@@ -143,6 +202,9 @@ class GroundedScanDataset:
             raise NotImplementedError(
                 "Full RGB input image not implemented. Implement or set "
                 "simple_situation_representation.")
+        if self._native is not None:
+            self._read_dataset_native(max_examples)
+            return
         agent_positions = []
         target_positions = []
         for i, example in enumerate(self.dataset.get_examples_with_image(
@@ -179,6 +241,37 @@ class GroundedScanDataset:
         self._target_positions = np.array(target_positions, dtype=np.int32)
         self._order = np.arange(len(self._input_ids), dtype=np.int64)
         logger.info("Done converting %d examples.", len(self._input_ids))
+
+    def _read_dataset_native(self, max_examples: Optional[int]):
+        native_split = self._native.splits.get(self.split)
+        assert native_split is not None, (
+            "Split {} not present in dataset.".format(self.split))
+        n = len(native_split)
+        if max_examples:
+            n = min(n, max_examples)
+        self.image_dimensions = self._native.grid_size
+        self.image_channels = self._native.channels
+        self._situations = native_split.grids[:n]
+        agent_positions = native_split.positions[:n, 0]
+        target_positions = native_split.positions[:n, 1]
+        input_ids = []
+        target_ids = []
+        for i in range(n):
+            input_ids.append(np.asarray(self.sentence_to_array(
+                native_split.command(i).split(","), "input"), dtype=np.int32))
+            target_ids.append(np.asarray(self.sentence_to_array(
+                native_split.target_commands(i).split(","), "target"),
+                dtype=np.int32))
+        self._input_ids = input_ids
+        self._target_ids = target_ids
+        self._input_lengths = np.array([len(a) for a in input_ids], np.int32)
+        self._target_lengths = np.array([len(a) for a in target_ids], np.int32)
+        self._agent_positions = np.asarray(agent_positions, np.int32)
+        self._target_positions = np.asarray(target_positions, np.int32)
+        self._situation_representations = _LazySituationList(native_split, n)
+        self._derivation_representations = _LazyDerivationList(native_split, n)
+        self._order = np.arange(n, dtype=np.int64)
+        logger.info("Done converting %d examples (native).", n)
 
     # ------------------------------------------------------------------
     # Batching

@@ -76,7 +76,8 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
         data_path, data_directory, split="dev",
         input_vocabulary_file=input_vocab_path,
         target_vocabulary_file=target_vocab_path, generate_vocabulary=False,
-        k=0, dataset=training_set.dataset)
+        k=0, dataset=training_set.dataset or training_set._native,
+        backend=training_set.backend)
     dev_set.read_dataset(
         max_examples=None,
         simple_situation_representation=simple_situation_representation)

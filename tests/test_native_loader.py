@@ -1,0 +1,91 @@
+"""Native C++ loader vs engine loader: identical arrays and lazy strings."""
+
+import os
+import random
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from multimodal_seq2seq_gscan_tpu.data import native_loader
+from multimodal_seq2seq_gscan_tpu.data.dataset import GroundedScanDataset
+from multimodal_seq2seq_gscan_tpu.gscan import GroundedScan
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    if not native_loader.is_available():
+        subprocess.run(["bash", os.path.join(REPO_ROOT, "scripts",
+                                             "build_native.sh")], check=True)
+    assert native_loader.is_available()
+
+
+@pytest.fixture(scope="module")
+def dataset_path(tmp_path_factory):
+    directory = str(tmp_path_factory.mktemp("native_ds"))
+    random.seed(9)
+    np.random.seed(9)
+    dataset = GroundedScan(
+        intransitive_verbs=["walk"], transitive_verbs=["push"],
+        adverbs=[], nouns=["circle", "square"],
+        color_adjectives=["red", "green"], size_adjectives=["big", "small"],
+        percentage_train=0.8, min_object_size=1, max_object_size=4,
+        sample_vocabulary="default", save_directory=directory, grid_size=6,
+        type_grammar="normal")
+    dataset.get_data_pairs(max_examples=300, num_resampling=1,
+                           split_type="uniform", make_dev_set=True)
+    return dataset.save_dataset("dataset.txt"), directory
+
+
+def _load(path, directory, backend):
+    ds = GroundedScanDataset(
+        path, directory, k=0, split="train",
+        input_vocabulary_file="iv.txt", target_vocabulary_file="tv.txt",
+        generate_vocabulary=True, backend=backend)
+    ds.read_dataset()
+    return ds
+
+def test_native_equals_engine(dataset_path):
+    path, directory = dataset_path
+    engine = _load(path, directory, "engine")
+    native = _load(path, directory, "native")
+
+    assert native.num_examples == engine.num_examples
+    assert native.input_vocabulary.to_dict() == \
+        engine.input_vocabulary.to_dict()
+    assert native.target_vocabulary.to_dict() == \
+        engine.target_vocabulary.to_dict()
+    assert native.image_dimensions == engine.image_dimensions
+    assert native.image_channels == engine.image_channels
+    np.testing.assert_array_equal(native._input_lengths,
+                                  engine._input_lengths)
+    np.testing.assert_array_equal(native._target_lengths,
+                                  engine._target_lengths)
+    np.testing.assert_array_equal(native._agent_positions,
+                                  engine._agent_positions)
+    np.testing.assert_array_equal(native._target_positions,
+                                  engine._target_positions)
+    for i in range(native.num_examples):
+        np.testing.assert_array_equal(native._input_ids[i],
+                                      engine._input_ids[i])
+        np.testing.assert_array_equal(native._target_ids[i],
+                                      engine._target_ids[i])
+        np.testing.assert_array_equal(native._situations[i],
+                                      engine._situations[i])
+        assert native._derivation_representations[i] == \
+            engine._derivation_representations[i]
+    # Lazy situation dicts decode to the engine's dicts.
+    for i in (0, native.num_examples - 1):
+        assert native._situation_representations[i] == \
+            engine._situation_representations[i]
+
+
+def test_native_dataset_splits(dataset_path):
+    path, _ = dataset_path
+    nd = native_loader.NativeDataset(path)
+    assert nd.grid_size == 6
+    assert set(nd.splits.keys()) >= {"train", "test", "dev"}
+    assert len(nd.splits["train"]) > 0
