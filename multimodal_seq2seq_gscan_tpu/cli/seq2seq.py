@@ -276,7 +276,16 @@ def run_test(flags, data_path):
             "No checkpoint found at {}".format(flags["resume_from_file"]))
         logger.info("Loading checkpoint from file at '{}'".format(
             flags["resume_from_file"]))
-        state, meta = ckpt.load_checkpoint(flags["resume_from_file"], template)
+        if flags["resume_from_file"].endswith((".pth.tar", ".pth", ".pt")):
+            # Reference PyTorch checkpoint: import through the weight mapper.
+            from multimodal_seq2seq_gscan_tpu.models.torch_import import (
+                load_reference_checkpoint)
+            params, meta = load_reference_checkpoint(
+                flags["resume_from_file"], config)
+            state = template._replace(params=params)
+        else:
+            state, meta = ckpt.load_checkpoint(flags["resume_from_file"],
+                                               template)
         logger.info("Loaded checkpoint '{}' (iter {})".format(
             flags["resume_from_file"], meta["iteration"]))
         output_file_name = "_".join([split, flags["output_file_name"]])

@@ -27,9 +27,7 @@ import torch
 
 from multimodal_seq2seq_gscan_tpu.models import (
     ModelConfig, forward, get_loss, get_metrics, init_model_params)
-from multimodal_seq2seq_gscan_tpu.models.params import (
-    AttentionParams, CNNParams, DecoderParams, EncoderParams, LSTMLayerParams,
-    ModelParams)
+from multimodal_seq2seq_gscan_tpu.models.params import ModelParams
 
 GRID = 6
 CHANNELS = 16
@@ -74,68 +72,11 @@ def _make_reference_model(config: ModelConfig):
         simple_situation_representation=True, attention_type="bahdanau")
 
 
-def _t2j(tensor):
-    return jnp.asarray(tensor.detach().numpy())
-
-
-def _lstm_layer_from_torch(lstm, layer, reverse=False):
-    suffix = "_reverse" if reverse else ""
-    return LSTMLayerParams(
-        w_ih=_t2j(getattr(lstm, f"weight_ih_l{layer}{suffix}")),
-        w_hh=_t2j(getattr(lstm, f"weight_hh_l{layer}{suffix}")),
-        b_ih=_t2j(getattr(lstm, f"bias_ih_l{layer}{suffix}")),
-        b_hh=_t2j(getattr(lstm, f"bias_hh_l{layer}{suffix}")))
-
-
-def _attention_from_torch(attention):
-    return AttentionParams(
-        key_w=_t2j(attention.key_layer.weight).T,
-        query_w=_t2j(attention.query_layer.weight).T,
-        energy_w=_t2j(attention.energy_layer.weight).T)
-
-
 def _params_from_reference(ref, config: ModelConfig) -> ModelParams:
-    def conv_w(conv):
-        # torch conv weight [O, C, kh, kw] -> HWIO. The reference transposes
-        # H<->W around its conv (cnn_model.py:28,34 transpose(1, 3)), so its
-        # kernels act spatially transposed; import as [kw, kh, C, O] to match.
-        return _t2j(conv.weight).transpose(3, 2, 1, 0)
-
-    cnn = CNNParams(
-        conv1_w=conv_w(ref.situation_encoder.conv_1),
-        conv1_b=_t2j(ref.situation_encoder.conv_1.bias),
-        conv5_w=conv_w(ref.situation_encoder.conv_2),
-        conv5_b=_t2j(ref.situation_encoder.conv_2.bias),
-        convk_w=conv_w(ref.situation_encoder.conv_3),
-        convk_b=_t2j(ref.situation_encoder.conv_3.bias))
-
-    fwd = tuple(_lstm_layer_from_torch(ref.encoder.lstm, i)
-                for i in range(config.num_encoder_layers))
-    bwd = (tuple(_lstm_layer_from_torch(ref.encoder.lstm, i, reverse=True)
-                 for i in range(config.num_encoder_layers))
-           if config.encoder_bidirectional else None)
-    encoder = EncoderParams(embedding=_t2j(ref.encoder.embedding.weight),
-                            fwd_layers=fwd, bwd_layers=bwd)
-
-    dec = ref.attention_decoder
-    decoder = DecoderParams(
-        embedding=_t2j(dec.embedding.weight),
-        lstm_layers=tuple(_lstm_layer_from_torch(dec.lstm, i)
-                          for i in range(config.num_decoder_layers)),
-        queries_to_keys_w=(_t2j(dec.queries_to_keys.weight).T
-                           if config.conditional_attention else None),
-        queries_to_keys_b=(_t2j(dec.queries_to_keys.bias)
-                           if config.conditional_attention else None),
-        output_to_hidden_w=_t2j(dec.output_to_hidden.weight).T,
-        hidden_to_output_w=_t2j(dec.hidden_to_output.weight).T)
-
-    return ModelParams(
-        cnn=cnn, encoder=encoder,
-        enc_to_dec_w=_t2j(ref.enc_hidden_to_dec_hidden.weight).T,
-        enc_to_dec_b=_t2j(ref.enc_hidden_to_dec_hidden.bias),
-        textual_attention=_attention_from_torch(ref.textual_attention),
-        visual_attention=_attention_from_torch(ref.visual_attention),
-        decoder=decoder)
+    # Exercises the production checkpoint importer.
+    from multimodal_seq2seq_gscan_tpu.models.torch_import import (
+        params_from_state_dict)
+    return params_from_state_dict(ref.state_dict(), config)
 
 
 def _make_batch(seed=0, batch=5):
