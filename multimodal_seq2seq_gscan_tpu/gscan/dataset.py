@@ -1103,6 +1103,14 @@ class GroundedScan:
     # Analysis / visualization delegates (implemented in analysis/)
     # ------------------------------------------------------------------
 
+    def visualize_attention(self, input_commands: List[str],
+                            target_commands: List[str], situation: Situation,
+                            attention_weights_commands: List[List[int]],
+                            attention_weights_situation: List[List[int]]):
+        # Not implemented in the reference either (dataset.py:653-655); the
+        # attention-GIF path is visualize_prediction.
+        raise NotImplementedError()
+
     def error_analysis(self, predictions_file: str, output_file: str,
                        save_directory: str):
         from multimodal_seq2seq_gscan_tpu.analysis.error_analysis import \

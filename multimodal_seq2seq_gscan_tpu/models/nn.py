@@ -4,6 +4,13 @@ Everything is batch-first, static-shape, and built on ``lax.scan`` /
 ``lax.conv_general_dilated`` so XLA maps the compute onto the MXU and fuses the
 elementwise tails. Masked scans replace the reference's sort/pack/unsort dance
 (seq2seq/seq2seq_model.py:61-88) — equivalent semantics, no host-side sorting.
+
+Deliberately not carried over from the reference cnn_model.py: the unused
+``DeepConvolutionalNet`` (never instantiated, cnn_model.py:39-69) and the
+``DownSamplingConvolutionalNet`` for RGB input, which the reference itself
+declares incorrectly implemented and refuses to run (model.py:37-38,
+__main__.py:112-114) — the CLI raises NotImplementedError for
+--image_situation_representation exactly like the reference does.
 """
 
 from functools import partial
