@@ -41,3 +41,36 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_examples_for_process(num_examples: int,
+                               process_index: Optional[int] = None,
+                               process_count: Optional[int] = None):
+    """Example-index slice for this host (multi-host data loading).
+
+    Each process loads only its contiguous shard; combined with
+    :func:`make_global_batch` the shards form one global batch sharded over
+    the 'data' axis (DCN across hosts, ICI within).
+    """
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    per_process = num_examples // process_count
+    start = process_index * per_process
+    return slice(start, start + per_process)
+
+
+def make_global_batch(mesh: Mesh, local_batch):
+    """Assemble a process-local batch into a global device array per field.
+
+    On a single-process mesh this is exactly :func:`shard_batch`; multi-host,
+    each process contributes its local rows and JAX builds the global array
+    from the per-process shards.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, local_batch)
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_batch)
