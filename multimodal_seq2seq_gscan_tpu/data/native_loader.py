@@ -12,7 +12,7 @@ callers fall back to the engine loader.
 import ctypes
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -16,7 +16,7 @@ attribute vector.
 
 import json
 import logging
-from typing import Dict, List, Union
+from typing import Dict, List
 
 import numpy as np
 

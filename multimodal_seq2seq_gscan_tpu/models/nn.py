@@ -13,7 +13,7 @@ __main__.py:112-114) — the CLI raises NotImplementedError for
 --image_situation_representation exactly like the reference does.
 """
 
-from functools import partial
+
 from typing import Optional, Tuple
 
 import jax

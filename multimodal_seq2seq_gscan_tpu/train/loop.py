@@ -9,9 +9,9 @@ instead of the reference's batch-1 loop.
 """
 
 import logging
-import os
+
 import time
-from typing import Optional
+
 
 import jax
 import numpy as np

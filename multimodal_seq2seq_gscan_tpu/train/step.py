@@ -7,8 +7,8 @@ shardings; XLA inserts the gradient all-reduce automatically from the
 replicated-parameter / sharded-batch sharding annotations.
 """
 
-from functools import partial
-from typing import Optional
+
+
 
 import jax
 import jax.numpy as jnp

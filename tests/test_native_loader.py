@@ -3,7 +3,7 @@
 import os
 import random
 import subprocess
-import sys
+
 
 import numpy as np
 import pytest
