@@ -308,8 +308,30 @@ class GroundedScanDataset:
     def _bucketed_length(self, length: int) -> int:
         return _round_up(max(int(length), 2), self.length_bucket_size)
 
+    def _ensure_packed(self):
+        """Build padded [N, T_max] token matrices + stacked situations once,
+        so batch assembly is pure vectorized slicing (the per-row Python loop
+        was the training bottleneck: the device step takes ~1 ms)."""
+        if getattr(self, "_packed", False):
+            return
+        n = len(self._input_ids)
+        max_in = int(self._input_lengths.max()) if n else 0
+        max_out = int(self._target_lengths.max()) if n else 0
+        self._input_matrix = np.zeros((n, max_in), dtype=np.int32)
+        self._target_matrix = np.zeros((n, max_out), dtype=np.int32)
+        for i in range(n):
+            self._input_matrix[i, :self._input_lengths[i]] = self._input_ids[i]
+            self._target_matrix[i, :self._target_lengths[i]] = \
+                self._target_ids[i]
+        if isinstance(self._situations, np.ndarray):
+            self._situation_stack = self._situations
+        else:
+            self._situation_stack = np.stack(self._situations)
+        self._packed = True
+
     def get_data_iterator(self, batch_size: int = 10,
-                          pad_to_full_batch: bool = False
+                          pad_to_full_batch: bool = False,
+                          with_representations: bool = True
                           ) -> Iterator[Tuple[Batch, np.ndarray, List[dict],
                                               List[str]]]:
         """Yield (Batch, example_indices, situation_reprs, derivation_reprs).
@@ -317,7 +339,11 @@ class GroundedScanDataset:
         Sequence dims are padded to the bucketed max length of the batch;
         with ``pad_to_full_batch`` the batch dim is also static (short final
         batches padded with zero rows — rows beyond len(example_indices)).
+        ``with_representations=False`` skips materializing the situation /
+        derivation dicts (training doesn't need them; with the native loader
+        they json-decode lazily and would dominate batch-assembly time).
         """
+        self._ensure_packed()
         n = len(self._order)
         for start in range(0, n, batch_size):
             idx = self._order[start:start + batch_size]
@@ -325,36 +351,52 @@ class GroundedScanDataset:
             rows = batch_size if pad_to_full_batch else actual
             max_in = self._bucketed_length(self._input_lengths[idx].max())
             max_out = self._bucketed_length(self._target_lengths[idx].max())
-            input_ids = np.zeros((rows, max_in), dtype=np.int32)
-            target_ids = np.zeros((rows, max_out), dtype=np.int32)
-            situations = np.zeros(
-                (rows, self.image_dimensions, self.image_dimensions,
-                 self.image_channels), dtype=np.float32)
-            input_lengths = np.zeros((rows,), dtype=np.int32)
-            target_lengths = np.zeros((rows,), dtype=np.int32)
-            agent_positions = np.zeros((rows,), dtype=np.int32)
-            target_positions = np.zeros((rows,), dtype=np.int32)
-            situation_reprs = []
-            derivation_reprs = []
-            for row, example_idx in enumerate(idx):
-                inp = self._input_ids[example_idx]
-                tgt = self._target_ids[example_idx]
-                input_ids[row, :len(inp)] = inp
-                target_ids[row, :len(tgt)] = tgt
-                situations[row] = self._situations[example_idx]
-                input_lengths[row] = len(inp)
-                target_lengths[row] = len(tgt)
-                agent_positions[row] = self._agent_positions[example_idx]
-                target_positions[row] = self._target_positions[example_idx]
-                situation_reprs.append(
-                    self._situation_representations[example_idx])
-                derivation_reprs.append(
-                    self._derivation_representations[example_idx])
-            batch = Batch(input_ids=input_ids, input_lengths=input_lengths,
-                          situations=situations, target_ids=target_ids,
-                          target_lengths=target_lengths,
-                          agent_positions=agent_positions,
-                          target_positions=target_positions)
+            pad_rows = rows - actual
+
+            def gather(matrix, width):
+                block = matrix[idx, :width]
+                if pad_rows:
+                    block = np.concatenate(
+                        [block, np.zeros((pad_rows,) + block.shape[1:],
+                                         block.dtype)])
+                return np.ascontiguousarray(block)
+
+            def gather_1d(vector):
+                block = vector[idx]
+                if pad_rows:
+                    block = np.concatenate(
+                        [block, np.zeros((pad_rows,), block.dtype)])
+                return block
+
+            input_ids = gather(self._input_matrix,
+                               min(max_in, self._input_matrix.shape[1]))
+            target_ids = gather(self._target_matrix,
+                                min(max_out, self._target_matrix.shape[1]))
+            if input_ids.shape[1] < max_in:
+                input_ids = np.pad(input_ids,
+                                   ((0, 0), (0, max_in - input_ids.shape[1])))
+            if target_ids.shape[1] < max_out:
+                target_ids = np.pad(
+                    target_ids, ((0, 0), (0, max_out - target_ids.shape[1])))
+            situations = gather(self._situation_stack,
+                                self._situation_stack.shape[1]).astype(
+                np.float32)
+            batch = Batch(
+                input_ids=input_ids,
+                input_lengths=gather_1d(self._input_lengths),
+                situations=situations,
+                target_ids=target_ids,
+                target_lengths=gather_1d(self._target_lengths),
+                agent_positions=gather_1d(self._agent_positions),
+                target_positions=gather_1d(self._target_positions))
+            if with_representations:
+                situation_reprs = [self._situation_representations[i]
+                                   for i in idx]
+                derivation_reprs = [self._derivation_representations[i]
+                                    for i in idx]
+            else:
+                situation_reprs = []
+                derivation_reprs = []
             yield batch, idx, situation_reprs, derivation_reprs
 
     @property

@@ -145,7 +145,8 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
             epoch_rng,
             bucket_by_length_with_batch_size=training_batch_size)
         for batch, _, _, _ in training_set.get_data_iterator(
-                batch_size=training_batch_size, pad_to_full_batch=True):
+                batch_size=training_batch_size, pad_to_full_batch=True,
+                with_representations=False):
             is_best = False
             profiler.maybe_start(training_iteration)
             state, metrics = train_step(state, batch)

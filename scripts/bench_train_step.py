@@ -9,9 +9,13 @@ Run:  python scripts/bench_train_step.py [--impl xla|pallas]
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_batch(batch_size, t_in, t_out, grid=6, channels=16, seed=0):
