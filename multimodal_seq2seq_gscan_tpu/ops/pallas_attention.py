@@ -50,6 +50,7 @@ def _attention_kernel(query_ref, keys_ref, mask_ref, energy_ref,
         preferred_element_type=jnp.float32)[:, 0, :]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
 def fused_additive_attention(projected_queries: jax.Array,
                              projected_keys: jax.Array, mask: jax.Array,
@@ -60,6 +61,10 @@ def fused_additive_attention(projected_queries: jax.Array,
 
     projected_queries: [B, H] = q @ W_q; projected_keys: [B, M, H] (values too);
     mask: [B, M]; energy_w: [H, 1]. Returns (context [B, H], weights [B, M]).
+
+    Differentiable: the forward runs the Pallas kernel; the backward is the
+    analytic VJP in plain XLA (defined below) — the usual production pattern
+    for Pallas ops (pallas_guide.md, "Patterns: Custom VJP").
     """
     batch, m, h = projected_keys.shape
     block = min(block_b, batch)
@@ -90,3 +95,39 @@ def fused_additive_attention(projected_queries: jax.Array,
         interpret=interpret,
     )(projected_queries, projected_keys, mask, energy_w)
     return context, weights
+
+
+def _attention_fwd(projected_queries, projected_keys, mask, energy_w,
+                   block_b=128, interpret=False):
+    context, weights = fused_additive_attention(
+        projected_queries, projected_keys, mask, energy_w,
+        block_b=block_b, interpret=interpret)
+    residuals = (projected_queries, projected_keys, mask, energy_w, weights)
+    return (context, weights), residuals
+
+
+def _attention_bwd(block_b, interpret, residuals, cotangents):
+    """Analytic VJP of the fused attention (plain XLA; recomputes tanh)."""
+    projected_queries, projected_keys, mask, energy_w, weights = residuals
+    d_context, d_weights_in = cotangents
+
+    # context = sum_m weights[b,m] * keys[b,m,h]
+    d_weights = jnp.einsum("bh,bmh->bm", d_context, projected_keys)
+    d_keys = weights[:, :, None] * d_context[:, None, :]
+    d_weights = d_weights + d_weights_in
+
+    # softmax backward (masked positions have weight exactly 0).
+    inner = jnp.sum(weights * d_weights, axis=-1, keepdims=True)
+    d_scores = weights * (d_weights - inner)
+
+    # scores = tanh(pq[:,None,:] + keys) @ ew  (masked fill has zero gradient)
+    hidden = jnp.tanh(projected_queries[:, None, :] + projected_keys)
+    d_hidden = d_scores[:, :, None] * energy_w[None, None, :, 0]
+    d_pre = d_hidden * (1.0 - hidden * hidden)
+    d_energy = jnp.einsum("bmh,bm->h", hidden, d_scores)[:, None]
+    d_pq = jnp.sum(d_pre, axis=1)
+    d_keys = d_keys + d_pre
+    return d_pq, d_keys, None, d_energy
+
+
+fused_additive_attention.defvjp(_attention_fwd, _attention_bwd)

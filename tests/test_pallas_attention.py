@@ -58,3 +58,31 @@ def test_model_forward_with_pallas_attention():
                         jnp.asarray(target_ids), deterministic=True)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
                                atol=1e-5)
+
+
+def test_fused_attention_gradients_match_xla():
+    """Custom-VJP backward equals the XLA autodiff gradients."""
+    rng = jax.random.PRNGKey(3)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    batch, m, h = 6, 11, 8
+    params = _attention_init(k1, key_size=h, query_size=h, hidden_size=h)
+    queries = jax.random.normal(k2, (batch, h))
+    keys = jax.random.normal(k3, (batch, m, h))
+    projected_keys = keys @ params.key_w
+    lengths = jnp.array([m, 4, 7, 2, m, 5])
+    mask = sequence_mask(lengths, m)
+    cot_ctx = jax.random.normal(k4, (batch, h))
+
+    def scalar(impl):
+        def fn(q, k, e):
+            p = params._replace(energy_w=e)
+            ctx, w = additive_attention(p, q, k, k, mask, impl=impl)
+            return jnp.sum(ctx * cot_ctx) + jnp.sum(w * w)
+        return fn
+
+    gx = jax.grad(scalar("xla"), argnums=(0, 1, 2))(
+        queries, projected_keys, params.energy_w)
+    gp = jax.grad(scalar("pallas"), argnums=(0, 1, 2))(
+        queries, projected_keys, params.energy_w)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
