@@ -191,7 +191,12 @@ def main(flags=None):
         if flags.get("data_parallel", 0) and flags["data_parallel"] > 1:
             from multimodal_seq2seq_gscan_tpu.parallel import make_mesh
             import jax
-            mesh = make_mesh(jax.devices()[:flags["data_parallel"]])
+            n = flags["data_parallel"]
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    "--data_parallel={} but only {} devices are "
+                    "available".format(n, len(jax.devices())))
+            mesh = make_mesh(jax.devices()[:n], data_parallel=n)
         from multimodal_seq2seq_gscan_tpu.train.loop import train
         train(data_path=data_path, mesh=mesh,
               evaluation_batch_size=flags["test_batch_size"], **flags)

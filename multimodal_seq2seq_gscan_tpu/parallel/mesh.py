@@ -18,15 +18,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               data_parallel: Optional[int] = None,
               model_parallel: int = 1) -> Mesh:
-    """Build a ('data', 'model') mesh over the given (or all) devices."""
+    """Build a ('data', 'model') mesh over the given (or all) devices.
+
+    Raises ``ValueError`` when the requested mesh shape does not exactly cover
+    the available devices — callers must never be silently downsized to a
+    smaller mesh than they asked for.
+    """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data_parallel is None:
         data_parallel = n // model_parallel
-    assert data_parallel * model_parallel == n, (
-        "mesh {}x{} does not cover {} devices".format(
-            data_parallel, model_parallel, n))
+    if data_parallel * model_parallel != n:
+        raise ValueError(
+            "mesh {}x{} requires {} devices but got {}".format(
+                data_parallel, model_parallel,
+                data_parallel * model_parallel, n))
     device_array = np.asarray(devices).reshape(data_parallel, model_parallel)
     return Mesh(device_array, axis_names=("data", "model"))
 
