@@ -231,7 +231,8 @@ def run_test(flags, data_path):
             data_path, flags["data_directory"], split=split,
             input_vocabulary_file=flags["input_vocab_path"],
             target_vocabulary_file=flags["target_vocab_path"],
-            generate_vocabulary=False, k=flags["k"])
+            generate_vocabulary=False, k=flags["k"],
+            k_shot_seed=flags.get("seed"))
         test_set.read_dataset(
             max_examples=None,
             simple_situation_representation=flags[

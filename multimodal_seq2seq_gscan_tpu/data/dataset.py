@@ -67,7 +67,7 @@ class GroundedScanDataset:
                  generate_vocabulary: bool = False,
                  length_bucket_size: int = 8,
                  dataset: Optional[GroundedScan] = None,
-                 backend: str = "auto"):
+                 backend: str = "auto", k_shot_seed: Optional[int] = None):
         assert os.path.exists(path_to_data), (
             "Trying to read a gSCAN dataset from a non-existing file {}.".format(
                 path_to_data))
@@ -96,7 +96,12 @@ class GroundedScanDataset:
                 logger.info("Loading dataset via native scanner...")
                 self._native = native_loader.NativeDataset(path_to_data)
                 import random as _random
-                self._native.move_k_examples_to_train_and_dev(k, _random)
+                # Seeded rng so k-shot selection is reproducible run-to-run
+                # (the reference uses the globally-seeded `random` module,
+                # GroundedScan/dataset.py:499-514).
+                rng = (_random.Random(k_shot_seed)
+                       if k_shot_seed is not None else _random)
+                self._native.move_k_examples_to_train_and_dev(k, rng)
                 logger.info("Done (native scan).")
         else:
             # Reuse an already-parsed engine when provided (the reference

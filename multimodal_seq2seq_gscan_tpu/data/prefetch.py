@@ -1,0 +1,73 @@
+"""Host->device prefetch: overlap batch assembly and H2D DMA with compute.
+
+The reference trainer assembles each batch synchronously between device steps
+(seq2seq/train.py:88-153), which on TPU leaves the device idle ~90% of the
+step (device step ~1 ms vs ~9 ms host work — documentation/PERFORMANCE.md).
+``prefetch_to_device`` runs the host-side iterator in a daemon thread that
+stays ``depth`` items ahead, calling ``jax.device_put`` so the transfer is
+in flight (or complete) before the consumer asks for the batch.
+"""
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+
+_END = object()
+
+
+def prefetch_to_device(iterator: Iterator, depth: int = 3,
+                       sharding=None) -> Iterator:
+    """Wrap an iterator of ``(Batch, ...)`` tuples (or bare pytrees) so that
+    element 0 arrives already placed on device.
+
+    - ``depth``: max items buffered ahead of the consumer.
+    - ``sharding``: optional ``jax.sharding.Sharding`` for the batch arrays
+      (e.g. ``NamedSharding(mesh, P('data'))``); default placement otherwise.
+
+    The generator is safe to abandon early: closing it (or letting it be
+    garbage-collected) signals the producer thread to stop. Exceptions raised
+    by the source iterator are re-raised in the consumer.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+
+    def place(item):
+        if isinstance(item, tuple):
+            head = jax.device_put(item[0], sharding)
+            return (head,) + item[1:]
+        return jax.device_put(item, sharding)
+
+    def emit(payload) -> bool:
+        """Blocking put that aborts when the consumer has gone away."""
+        while not stop.is_set():
+            try:
+                q.put(payload, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def producer():
+        try:
+            for item in iterator:
+                if not emit(place(item)):
+                    return
+            emit(_END)
+        except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+            emit(exc)
+
+    thread = threading.Thread(target=producer, daemon=True,
+                              name="batch-prefetch")
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -137,6 +137,10 @@ def evaluate(dataset: GroundedScanDataset, params: ModelParams,
             exact_match += 1
         accuracies.append(accuracy)
         target_accuracies.append(record["position_accuracy"])
+    if not accuracies:
+        raise ValueError(
+            "evaluate() got an empty '{}' split — nothing to decode".format(
+                dataset.split))
     return (float(np.mean(np.array(accuracies))),
             (exact_match / len(accuracies)) * 100,
             float(np.mean(np.array(target_accuracies))))

@@ -45,9 +45,9 @@ def encode_input(params: ModelParams, config: ModelConfig,
     valid prefix, reproducing packed-sequence semantics.
     """
     if rng is not None:
-        rng_cnn, rng_emb = jax.random.split(rng)
+        rng_cnn, rng_emb, rng_layers = jax.random.split(rng, 3)
     else:
-        rng_cnn = rng_emb = None
+        rng_cnn = rng_emb = rng_layers = None
 
     # -- Situation encoder --
     features = situation_cnn(params.cnn, situations, config.cnn_kernel_size)
@@ -62,18 +62,30 @@ def encode_input(params: ModelParams, config: ModelConfig,
     max_len = command_ids.shape[1]
     mask = sequence_mask(command_lengths, max_len)
 
-    def run_stack(layers, inputs):
-        outputs, final = inputs, None
-        for layer in layers:
-            outputs, final = masked_lstm_scan(layer, outputs, mask)
-        return outputs, final
-
-    fwd_out, (fwd_h, _) = run_stack(params.encoder.fwd_layers, embedded)
+    # Stack wiring follows torch nn.LSTM: layer i>0 consumes the (concat of
+    # both directions of the) layer below, with inter-layer dropout on all
+    # but the last layer's output; the model-level direction *sum* applies
+    # only to the final layer (reference seq2seq_model.py:76-81).
+    num_layers = len(params.encoder.fwd_layers)
+    layer_input = embedded
+    fwd_out = bwd_out = fwd_h = bwd_h = None
+    for i in range(num_layers):
+        fwd_out, (fwd_h, _) = masked_lstm_scan(
+            params.encoder.fwd_layers[i], layer_input, mask)
+        if params.encoder.bwd_layers is not None:
+            reversed_in = reverse_padded(layer_input, command_lengths)
+            bwd_out_rev, (bwd_h, _) = masked_lstm_scan(
+                params.encoder.bwd_layers[i], reversed_in, mask)
+            bwd_out = reverse_padded(bwd_out_rev, command_lengths)
+            layer_input = jnp.concatenate([fwd_out, bwd_out], axis=-1)
+        else:
+            layer_input = fwd_out
+        if i < num_layers - 1:
+            layer_rng = (jax.random.fold_in(rng_layers, i)
+                         if rng_layers is not None else None)
+            layer_input = dropout(layer_rng, layer_input,
+                                  config.encoder_dropout_p, deterministic)
     if params.encoder.bwd_layers is not None:
-        reversed_in = reverse_padded(embedded, command_lengths)
-        bwd_out_rev, (bwd_h, _) = run_stack(params.encoder.bwd_layers,
-                                            reversed_in)
-        bwd_out = reverse_padded(bwd_out_rev, command_lengths)
         outputs = fwd_out + bwd_out
         hidden = fwd_h + bwd_h
     else:
@@ -122,9 +134,9 @@ def decoder_step(params: ModelParams, config: ModelConfig,
     query = h_stack[-1]  # [B, H] — top-layer hidden state drives attention.
 
     if rng is not None:
-        rng_emb = rng
+        rng_emb, rng_layers = jax.random.split(rng)
     else:
-        rng_emb = None
+        rng_emb = rng_layers = None
 
     embedded = embed(params.decoder.embedding, token_ids, config.target_pad_idx)
     embedded = dropout(rng_emb, embedded, config.decoder_dropout_p,
@@ -150,11 +162,18 @@ def decoder_step(params: ModelParams, config: ModelConfig,
                                  axis=-1)  # [B, 3H]
     new_h, new_c = [], []
     layer_input = lstm_input
+    num_layers = len(params.decoder.lstm_layers)
     for i, layer in enumerate(params.decoder.lstm_layers):
         h_i, c_i = lstm_cell(layer, layer_input, h_stack[i], c_stack[i])
         new_h.append(h_i)
         new_c.append(c_i)
         layer_input = h_i
+        if i < num_layers - 1:
+            # torch nn.LSTM inter-layer dropout (all but the last layer).
+            layer_rng = (jax.random.fold_in(rng_layers, i)
+                         if rng_layers is not None else None)
+            layer_input = dropout(layer_rng, layer_input,
+                                  config.decoder_dropout_p, deterministic)
     lstm_output = new_h[-1]
     hidden_out = (jnp.stack(new_h), jnp.stack(new_c))
 
@@ -264,14 +283,26 @@ def get_metrics(config: ModelConfig, target_log_probs: jax.Array,
 
 
 def get_auxiliary_loss(auxiliary_log_probs: jax.Array,
-                       target_positions: jax.Array) -> jax.Array:
+                       target_positions: jax.Array,
+                       valid: Optional[jax.Array] = None) -> jax.Array:
+    """NLL of the target grid cell; ``valid`` masks padded batch slots
+    (rows added by ``pad_to_full_batch`` carry no example)."""
     token_log_probs = jnp.take_along_axis(
         auxiliary_log_probs, target_positions[:, None], axis=-1)[:, 0]
-    return -jnp.mean(token_log_probs)
+    if valid is None:
+        return -jnp.mean(token_log_probs)
+    weights = valid.astype(token_log_probs.dtype)
+    return -jnp.sum(token_log_probs * weights) / jnp.maximum(
+        jnp.sum(weights), 1.0)
 
 
 def get_auxiliary_accuracy(auxiliary_scores: jax.Array,
-                           target_positions: jax.Array) -> jax.Array:
+                           target_positions: jax.Array,
+                           valid: Optional[jax.Array] = None) -> jax.Array:
     predictions = jnp.argmax(auxiliary_scores, axis=-1)
-    return 100.0 * jnp.mean((predictions == target_positions)
-                            .astype(jnp.float32))
+    correct = (predictions == target_positions).astype(jnp.float32)
+    if valid is None:
+        return 100.0 * jnp.mean(correct)
+    weights = valid.astype(jnp.float32)
+    return 100.0 * jnp.sum(correct * weights) / jnp.maximum(
+        jnp.sum(weights), 1.0)

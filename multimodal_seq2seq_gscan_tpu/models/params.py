@@ -132,19 +132,21 @@ def init_model_params(rng: jax.Array, config: ModelConfig) -> ModelParams:
     enc_emb = _embedding_init(keys[3], c.input_vocabulary_size,
                               c.embedding_dimension,
                               padding_idx=c.input_padding_idx)
+    # Upper layers of a bidirectional stack consume the *concatenated*
+    # fwd+bwd outputs of the layer below (torch nn.LSTM(bidirectional=True)
+    # semantics, used by reference seq2seq_model.py:47-63).
+    num_directions = 2 if c.encoder_bidirectional else 1
+    def enc_in(i):
+        return (c.embedding_dimension if i == 0
+                else num_directions * c.encoder_hidden_size)
     fwd_keys = jax.random.split(keys[4], c.num_encoder_layers)
     fwd_layers = tuple(
-        _lstm_layer_init(fwd_keys[i],
-                         c.embedding_dimension if i == 0 else c.encoder_hidden_size,
-                         c.encoder_hidden_size)
+        _lstm_layer_init(fwd_keys[i], enc_in(i), c.encoder_hidden_size)
         for i in range(c.num_encoder_layers))
     if c.encoder_bidirectional:
         bwd_keys = jax.random.split(keys[5], c.num_encoder_layers)
         bwd_layers = tuple(
-            _lstm_layer_init(bwd_keys[i],
-                             c.embedding_dimension if i == 0
-                             else c.encoder_hidden_size,
-                             c.encoder_hidden_size)
+            _lstm_layer_init(bwd_keys[i], enc_in(i), c.encoder_hidden_size)
             for i in range(c.num_encoder_layers))
     else:
         bwd_layers = None

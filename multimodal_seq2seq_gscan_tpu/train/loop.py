@@ -17,6 +17,7 @@ import jax
 import numpy as np
 
 from multimodal_seq2seq_gscan_tpu.data.dataset import GroundedScanDataset
+from multimodal_seq2seq_gscan_tpu.data.prefetch import prefetch_to_device
 from multimodal_seq2seq_gscan_tpu.decode.predict import evaluate
 from multimodal_seq2seq_gscan_tpu.models.config import ModelConfig
 from multimodal_seq2seq_gscan_tpu.train import checkpoint as ckpt
@@ -44,13 +45,13 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
           auxiliary_task: bool, weight_target_loss: float, attention_type: str,
           k: int, max_training_examples=None, seed=42, mesh=None,
           max_testing_examples=None, evaluation_batch_size: int = 256,
-          profile_dir: str = "", **kwargs):
+          profile_dir: str = "", prefetch_depth: int = 3, **kwargs):
     logger.info("Loading Training set...")
     training_set = GroundedScanDataset(
         data_path, data_directory, split="train",
         input_vocabulary_file=input_vocab_path,
         target_vocabulary_file=target_vocab_path,
-        generate_vocabulary=generate_vocabularies, k=k)
+        generate_vocabulary=generate_vocabularies, k=k, k_shot_seed=seed)
     training_set.read_dataset(
         max_examples=max_training_examples,
         simple_situation_representation=simple_situation_representation)
@@ -140,13 +141,26 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
     epoch_rng = np.random.default_rng(seed)
     window_start = time.time()
     window_steps = 0
-    while training_iteration < max_training_iterations:
-        training_set.shuffle_data(
-            epoch_rng,
-            bucket_by_length_with_batch_size=training_batch_size)
-        for batch, _, _, _ in training_set.get_data_iterator(
+
+    def epoch_stream():
+        """Endless shuffled batch stream (epoch boundaries are seamless so
+        the prefetcher never drains while the next epoch reshuffles)."""
+        while True:
+            training_set.shuffle_data(
+                epoch_rng,
+                bucket_by_length_with_batch_size=training_batch_size)
+            yield from training_set.get_data_iterator(
                 batch_size=training_batch_size, pad_to_full_batch=True,
-                with_representations=False):
+                with_representations=False)
+
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = NamedSharding(mesh, P("data"))
+    stream = prefetch_to_device(epoch_stream(), depth=prefetch_depth,
+                                sharding=batch_sharding)
+    try:
+        for batch, _, _, _ in stream:
             is_best = False
             profiler.maybe_start(training_iteration)
             state, metrics = train_step(state, batch)
@@ -197,6 +211,8 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
             training_iteration += 1
             if training_iteration > max_training_iterations:
                 break
+    finally:
+        stream.close()
     profiler.close()
     logger.info("Finished training.")
     return state, config

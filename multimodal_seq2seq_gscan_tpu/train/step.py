@@ -28,7 +28,8 @@ def loss_fn(params, config: ModelConfig, batch: Batch, rng,
         batch.target_ids, rng=rng, deterministic=deterministic)
     loss = get_loss(config, log_probs, batch.target_ids)
     if config.auxiliary_task:
-        aux_loss = get_auxiliary_loss(aux_scores, batch.target_positions)
+        aux_loss = get_auxiliary_loss(aux_scores, batch.target_positions,
+                                      valid=batch.target_lengths > 0)
         loss = loss + weight_target_loss * aux_loss
     return loss, (log_probs, aux_scores)
 
@@ -52,8 +53,9 @@ def make_train_step(config: ModelConfig, optimizer: optax.GradientTransformation
         new_params = optax.apply_updates(state.params, updates)
         accuracy, exact_match = get_metrics(config, log_probs, batch.target_ids)
         if config.auxiliary_task:
-            aux_accuracy = get_auxiliary_accuracy(aux_scores,
-                                                  batch.target_positions)
+            aux_accuracy = get_auxiliary_accuracy(
+                aux_scores, batch.target_positions,
+                valid=batch.target_lengths > 0)
         else:
             aux_accuracy = jnp.zeros(())
         metrics = {"loss": loss, "accuracy": accuracy,

@@ -71,3 +71,56 @@ def test_shuffle_without_bucketing_is_permutation():
     ds = _fake_dataset()
     ds.shuffle_data(np.random.default_rng(2))
     assert sorted(ds._order.tolist()) == list(range(500))
+
+
+def test_prefetch_to_device_preserves_order_and_values():
+    import jax
+
+    from multimodal_seq2seq_gscan_tpu.data.prefetch import prefetch_to_device
+
+    items = [(np.full((4,), i, np.int32), i) for i in range(20)]
+    out = list(prefetch_to_device(iter(items), depth=3))
+    assert len(out) == 20
+    for i, (arr, tag) in enumerate(out):
+        assert tag == i
+        assert isinstance(arr, jax.Array)
+        np.testing.assert_array_equal(np.asarray(arr), items[i][0])
+
+
+def test_prefetch_propagates_exceptions():
+    from multimodal_seq2seq_gscan_tpu.data.prefetch import prefetch_to_device
+
+    def source():
+        yield (np.zeros((2,), np.float32),)
+        raise ValueError("boom")
+
+    stream = prefetch_to_device(source(), depth=2)
+    next(stream)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="boom"):
+        next(stream)
+
+
+def test_prefetch_early_close_stops_producer():
+    import threading
+
+    from multimodal_seq2seq_gscan_tpu.data.prefetch import prefetch_to_device
+
+    produced = []
+
+    def source():
+        for i in range(10_000):
+            produced.append(i)
+            yield (np.zeros((1,), np.float32), i)
+
+    stream = prefetch_to_device(source(), depth=2)
+    next(stream)
+    stream.close()
+    # The producer thread must wind down, not spin through the whole source.
+    for _ in range(50):
+        if threading.active_count() == 1:
+            break
+        import time
+        time.sleep(0.1)
+    assert len(produced) < 100
+

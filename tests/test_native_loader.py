@@ -89,3 +89,23 @@ def test_native_dataset_splits(dataset_path):
     assert nd.grid_size == 6
     assert set(nd.splits.keys()) >= {"train", "test", "dev"}
     assert len(nd.splits["train"]) > 0
+
+def test_native_k_shot_move_is_seed_deterministic(dataset_path):
+    """k-shot selection must be reproducible from a seeded rng
+    (round-1 verdict item 9: the native path previously consumed the
+    unseeded global random module)."""
+    path, _ = dataset_path
+
+    def load(seed):
+        nd = native_loader.NativeDataset(path)
+        before_train = len(nd.splits["train"])
+        before_test = len(nd.splits["test"])
+        nd.move_k_examples_to_train_and_dev(2, random.Random(seed),
+                                            split="test")
+        assert len(nd.splits["train"]) == before_train + 2
+        assert len(nd.splits["test"]) == before_test - 2
+        return (nd.splits["train"].offsets.tolist(),
+                nd.splits["test"].offsets.tolist())
+
+    assert load(7) == load(7)
+    assert load(7) != load(8)
