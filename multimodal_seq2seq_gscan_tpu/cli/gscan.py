@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "nonsensical one.")
 
     # Only relevant when --sample_vocabulary='sample'.
+    parser.add_argument("--seed", type=int, default=1,
+                        help="Seed for the generation RNGs (the reference CLI "
+                             "has no seed and generates nondeterministically; "
+                             "seeding makes datasets reproducible).")
+
     parser.add_argument("--num_intransitive_verbs", type=int, default=1)
     parser.add_argument("--num_transitive_verbs", type=int, default=1)
     parser.add_argument("--num_adverbs", type=int, default=6)
@@ -143,6 +148,11 @@ def main(flags=None):
                     exist_ok=True)
 
     if flags["mode"] == "generate":
+        import random as _random
+
+        import numpy as _np
+        _random.seed(flags.get("seed", 1))
+        _np.random.seed(flags.get("seed", 1))
         sample = flags["sample_vocabulary"] == "sample"
 
         def words_or_count(words_key, count_key):

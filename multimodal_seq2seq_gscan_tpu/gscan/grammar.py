@@ -1,13 +1,29 @@
-"""Context-free grammar over the gSCAN vocabulary: rules, derivations, templates.
+"""Language layer: the gSCAN context-free grammar, redesigned around a
+declarative production table.
 
-The derivation string serialization (``rules_str;lexicon_str``) is kept identical
-to the reference format (cf. reference GroundedScan/grammar.py:179-285) — this
-exact format appears in ``dataset.txt`` ("derivation") and ``predict.json``.
+Contract-pinned surfaces (they appear verbatim in ``dataset.txt`` /
+``predict.json`` and are golden-tested; cf. reference
+GroundedScan/grammar.py:179-285 for the serialization format and
+grammar.py:333-601 for the command set):
+
+- the derivation serialization ``"rules;lexicon"`` including rule-name
+  spellings like ``"VP -> VV_intrans 'to' DP"`` and lexicon entries like
+  ``"NT:JJ -> red:JJ -> big"`` / ``"T:to"``;
+- the exact set AND order of generated commands per grammar type (dataset
+  regeneration must be byte-stable);
+- logical-form composition semantics, including the reference's positional
+  quirk in ``VP -> VP RB`` (see ``_compose``);
+- category-coherence filtering and the stacked-adjective de-duplication.
+
+Everything else is original machinery: one ``Production`` record type plus a
+single semantics interpreter replaces the reference's eight ``Rule``
+subclasses, and a generator over sentential forms replaces its ``Template``
+class and accumulate-into-a-list expansion.
 """
 
 from collections import namedtuple
 from itertools import product
-from typing import ClassVar, List
+from typing import ClassVar, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -36,292 +52,260 @@ def free_var(sem_type: SemType) -> Variable:
     return Variable(name, sem_type)
 
 
-class Rule:
-    """LHS -> RHS production with an ``instantiate`` defining its meaning."""
+class Production:
+    """One grammar production as plain data.
 
-    def __init__(self, lhs: Nonterminal, rhs: List, max_recursion: int = 2):
+    ``combine`` names the semantics interpreted by :func:`_compose`:
+    ``pass``/``verb``/``modify``/``conj`` for phrasal productions, ``lex``
+    for word-level ones (which also carry ``word``/``sem_type``/``specs``).
+    ``max_uses`` caps how many times the production may be applied within a
+    single derivation (the reference's per-rule recursion bound).
+    """
+
+    __slots__ = ("name", "lhs", "rhs", "combine", "max_uses", "word",
+                 "sem_type", "specs")
+
+    def __init__(self, name: str, lhs: Nonterminal, rhs: Tuple,
+                 combine: str, max_uses: int = 2, word: Optional[str] = None,
+                 sem_type: Optional[SemType] = None,
+                 specs: Optional[Weights] = None):
+        self.name = name
         self.lhs = lhs
         self.rhs = rhs
-        self.sem_type = None
-        self.max_recursion = max_recursion
-
-    def instantiate(self, *args, **kwargs):
-        raise NotImplementedError()
-
-
-class LexicalRule(Rule):
-    """Nonterminal -> terminal word."""
-
-    def __init__(self, lhs: Nonterminal, word: str, specs: Weights,
-                 sem_type: SemType):
-        super().__init__(lhs=lhs, rhs=[Terminal(word)], max_recursion=1)
-        self.name = word
+        self.combine = combine
+        self.max_uses = max_uses
+        self.word = word
         self.sem_type = sem_type
         self.specs = specs
 
-    def instantiate(self, meta=None, **kwargs) -> LogicalForm:
-        var = free_var(self.sem_type)
+    @property
+    def is_lexical(self) -> bool:
+        return self.combine == "lex"
+
+    def __repr__(self):
+        return self.name
+
+
+def _lexical(lhs: Nonterminal, word: str, sem_type: SemType,
+             specs: Weights) -> Production:
+    return Production(name="{} -> {}".format(lhs.name, word), lhs=lhs,
+                      rhs=(Terminal(word),), combine="lex", max_uses=1,
+                      word=word, sem_type=sem_type, specs=specs)
+
+
+def _compose(production: Production, child_lfs: List[LogicalForm],
+             meta: dict) -> LogicalForm:
+    """Interpret a production's semantics over its children's logical forms.
+
+    ``child_lfs`` is ordered by RHS position (terminals contribute nothing).
+    """
+    tag = production.combine
+    if tag == "lex":
+        var = free_var(production.sem_type)
         return LogicalForm(
             variables=(var,),
-            terms=(Term(self.name, (var,), specs=self.specs, meta=meta),))
-
-    def __repr__(self):
-        return "{} -> {}".format(self.lhs.name, self.rhs[0].name)
-
-
-class Root(Rule):
-    def __init__(self):
-        super().__init__(lhs=ROOT, rhs=[VP])
-
-    def instantiate(self, child, **kwargs):
-        return child
-
-    def __repr__(self):
-        return "ROOT -> VP"
-
-
-class RootConj(Rule):
-    def __init__(self, max_recursion=0):
-        super().__init__(lhs=ROOT, rhs=[VP, Terminal("and"), ROOT],
-                         max_recursion=max_recursion)
-
-    def instantiate(self, left_child, right_child, **kwargs):
+            terms=(Term(production.word, (var,), specs=production.specs,
+                        meta=meta),))
+    if tag == "pass":
+        return child_lfs[0]
+    if tag == "verb":
+        # VP -> VV ('to') DP: patient role links event to entity; the DP's
+        # logical form is surfaced through meta["arguments"] so the dataset
+        # engine can extract the referent.
+        vv, dp = child_lfs
+        meta["arguments"].append(dp)
         return LogicalForm(
-            variables=left_child.variables + right_child.variables,
-            terms=(left_child.terms + right_child.terms
-                   + (Term("seq", (left_child.head, right_child.head)),)))
-
-    def __repr__(self):
-        return "ROOT -> VP 'and' ROOT"
-
-
-class VpWrapper(Rule):
-    def __init__(self, max_recursion=0):
-        super().__init__(lhs=VP, rhs=[VP, RB], max_recursion=max_recursion)
-
-    def instantiate(self, rb, vp, meta, **kwargs):
-        bound = rb.bind(vp.head)
-        assert bound.variables[0] == vp.head
-        return LogicalForm(variables=vp.variables + bound.variables[1:],
-                           terms=vp.terms + bound.terms)
-
-    def __repr__(self):
-        return "VP -> VP RB"
-
-
-class VpIntransitive(Rule):
-    def __init__(self):
-        super().__init__(lhs=VP, rhs=[VV_intransitive, Terminal("to"), DP])
-
-    def instantiate(self, vv, dp, meta, **kwargs):
-        role = Term("patient", (vv.head, dp.head))
-        meta["arguments"].append(dp)
-        return LogicalForm(variables=vv.variables + dp.variables,
-                           terms=vv.terms + dp.terms + (role,))
-
-    def __repr__(self):
-        return "VP -> VV_intrans 'to' DP"
-
-
-class VpTransitive(Rule):
-    def __init__(self):
-        super().__init__(lhs=VP, rhs=[VV_transitive, DP])
-
-    def instantiate(self, vv, dp, meta, **kwargs):
-        role = Term("patient", (vv.head, dp.head))
-        meta["arguments"].append(dp)
-        return LogicalForm(variables=vv.variables + dp.variables,
-                           terms=vv.terms + dp.terms + (role,))
-
-    def __repr__(self):
-        return "VP -> VV_trans DP"
-
-
-class Dp(Rule):
-    def __init__(self):
-        super().__init__(lhs=DP, rhs=[Terminal("a"), NP])
-
-    def instantiate(self, np_child, **kwargs):
-        return np_child
-
-    def __repr__(self):
-        return "DP -> 'a' NP"
-
-
-class NpWrapper(Rule):
-    def __init__(self, max_recursion=0):
-        super().__init__(lhs=NP, rhs=[JJ, NP], max_recursion=max_recursion)
-
-    def instantiate(self, jj, np_child, meta=None, **kwargs):
-        bound = jj.bind(np_child.head)
-        assert bound.variables[0] == np_child.head
-        return LogicalForm(variables=np_child.variables + bound.variables[1:],
-                           terms=np_child.terms + bound.terms)
-
-    def __repr__(self):
-        return "NP -> JJ NP"
-
-
-class Np(Rule):
-    def __init__(self):
-        super().__init__(lhs=NP, rhs=[NN])
-
-    def instantiate(self, nn, **kwargs):
-        return nn
-
-    def __repr__(self):
-        return "NP -> NN"
+            variables=vv.variables + dp.variables,
+            terms=vv.terms + dp.terms + (Term("patient",
+                                              (vv.head, dp.head)),))
+    if tag == "modify":
+        # Both NP -> JJ NP and VP -> VP RB bind the FIRST child's logical
+        # form onto the SECOND child's head variable, and keep the second
+        # child's variables/terms first in the result. For VP -> VP RB this
+        # means the verb phrase's meaning attaches to the *adverb's* event
+        # variable: the reference's instantiate() receives its positional
+        # arguments swapped relative to their parameter names
+        # (grammar.py:109-112) and all downstream logical forms depend on
+        # that dataflow, so it is preserved here.
+        first, second = child_lfs
+        bound = first.bind(second.head)
+        assert bound.variables[0] == second.head
+        return LogicalForm(variables=second.variables + bound.variables[1:],
+                           terms=second.terms + bound.terms)
+    if tag == "conj":
+        left, right = child_lfs
+        return LogicalForm(
+            variables=left.variables + right.variables,
+            terms=(left.terms + right.terms
+                   + (Term("seq", (left.head, right.head)),)))
+    raise ValueError("Unknown combine tag {!r}".format(tag))
 
 
 class Derivation:
-    """A constituency tree; serializes depth-first to the dataset.txt format."""
+    """A constituency tree node: a production plus child nodes/terminals.
 
-    def __init__(self, rule, children=None, meta=None):
+    Serializes to / parses from the exact ``dataset.txt`` "derivation"
+    string format.
+    """
+
+    __slots__ = ("rule", "lhs", "children", "meta", "_lf")
+
+    def __init__(self, rule: Production, children=None, meta=None):
         self.rule = rule
         self.lhs = rule.lhs
         self.children = children
         self.meta = meta if meta is not None else {}
+        self._lf = None
+
+    # -- construction ---------------------------------------------------
 
     @classmethod
-    def from_rules(cls, rules: list, symbol=ROOT, lexicon=None) -> "Derivation":
+    def from_rules(cls, rules: list, symbol=ROOT,
+                   lexicon: Optional[dict] = None) -> "Derivation":
+        """Rebuild the tree from phrasal rules in reverse application order
+        (consumed by ``pop()``) plus per-category lexical assignments.
+
+        This pop-from-the-end protocol is the wire contract: the rules
+        string in dataset.txt lists phrasal productions bottom-up, and
+        repeated lexical categories stack so the leftmost word pops first.
+        """
         if isinstance(symbol, Terminal):
             return symbol
-        if symbol not in lexicon.keys():
-            next_rule = rules.pop()
+        if lexicon and symbol in lexicon:
+            production = lexicon[symbol].pop()
         else:
-            next_rule = lexicon[symbol].pop()
-        return Derivation(
-            next_rule,
-            tuple(cls.from_rules(rules, symbol=next_symbol, lexicon=lexicon)
-                  for next_symbol in next_rule.rhs))
+            production = rules.pop()
+        return cls(production,
+                   children=tuple(cls.from_rules(rules, child, lexicon)
+                                  for child in production.rhs))
 
-    def to_rules(self, rules: list, lexicon: dict):
-        for child in self.children:
-            if isinstance(child, Derivation):
-                child.to_rules(rules, lexicon)
-            else:
-                lexicon[child] = [child]
-        if isinstance(self.rule, LexicalRule):
-            if self.rule.lhs not in lexicon:
-                lexicon[self.rule.lhs] = [self.rule]
-            else:
-                lexicon[self.rule.lhs] = [self.rule] + lexicon[self.rule.lhs]
-        else:
-            rules.append(self.rule)
+    @classmethod
+    def from_str(cls, rules_str: str, lexicon_str: str,
+                 grammar: "Grammar") -> "Derivation":
+        """Parse the ``"rules;lexicon"`` serialization (split by the caller).
+
+        ``rules_str``: comma-joined phrasal production names, bottom-up.
+        ``lexicon_str``: comma-joined entries — ``T:word`` for terminals,
+        ``NT:<prod>[:<prod>...]`` for lexical productions, multiple
+        productions per entry when a category occurs more than once.
+        """
+        phrasal = [grammar.rule_str_to_rules[name]
+                   for name in rules_str.split(",")]
+        lexicon: dict = {}
+        for entry in lexicon_str.split(","):
+            kind, _, body = entry.partition(":")
+            for item in body.split(":"):
+                if kind == "T":
+                    lexicon[Terminal(item)] = [Terminal(item)]
+                else:
+                    production = grammar.rule_str_to_rules[item]
+                    lexicon.setdefault(production.lhs, []).append(production)
+        return cls.from_rules(phrasal, lexicon=lexicon)
+
+    # -- views ------------------------------------------------------------
 
     def words(self) -> tuple:
-        out = []
-        for child in self.children:
-            if isinstance(child, Terminal):
-                out.append(child.name)
+        """The terminal yield, left to right (iterative traversal)."""
+        out: List[str] = []
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Terminal):
+                out.append(node.name)
             else:
-                out += child.words()
+                stack.extend(reversed(node.children))
         return tuple(out)
 
     def meaning(self, arguments: list) -> LogicalForm:
-        self.meta["arguments"] = arguments
-        if not hasattr(self, "_cached_logical_form"):
-            child_meanings = [child.meaning(arguments) for child in self.children
-                              if isinstance(child, Derivation)]
-            self._cached_logical_form = self.rule.instantiate(*child_meanings,
-                                                              meta=self.meta)
-        return self._cached_logical_form
+        """Compose the logical form bottom-up (memoized per node).
 
-    @classmethod
-    def from_str(cls, rules_str: str, lexicon_str: str, grammar) -> "Derivation":
-        rules_list = [grammar.rule_str_to_rules[r] for r in rules_str.split(",")]
-        lexicon = {}
-        for entry in lexicon_str.split(","):
-            items = entry.split(":")
-            symbol_type = items[0]
-            for item in items[1:]:
-                if symbol_type == "T":
-                    new_terminal = Terminal(item)
-                    lexicon[new_terminal] = [new_terminal]
-                else:
-                    rule = grammar.rule_str_to_rules[item]
-                    if rule.lhs not in lexicon:
-                        lexicon[rule.lhs] = [rule]
-                    else:
-                        lexicon[rule.lhs].append(rule)
-        return cls.from_rules(rules_list, lexicon=lexicon)
+        Memoization semantics match the reference (grammar.py:234-245):
+        only the FIRST call appends the verb arguments to ``arguments``;
+        later calls return the cached LF without re-walking children.
+        """
+        self.meta["arguments"] = arguments
+        if self._lf is None:
+            child_lfs = [child.meaning(arguments) for child in self.children
+                         if isinstance(child, Derivation)]
+            self._lf = _compose(self.rule, child_lfs, self.meta)
+        return self._lf
+
+    # -- serialization ------------------------------------------------------
+
+    def to_rules(self, phrasal: list, lexicon: dict) -> None:
+        """Post-order walk filling the serialization structures.
+
+        Phrasal productions list bottom-up; lexical productions stack
+        front-first per category; terminals key the lexicon by Terminal."""
+        for child in self.children:
+            if isinstance(child, Derivation):
+                child.to_rules(phrasal, lexicon)
+            else:
+                lexicon[child] = [child]
+        if self.rule.is_lexical:
+            lexicon[self.lhs] = [self.rule] + lexicon.get(self.lhs, [])
+        else:
+            phrasal.append(self.rule)
 
     def __repr__(self):
-        rules = []
-        lexicon = {}
-        self.to_rules(rules, lexicon)
-        rules_str = ",".join(str(rule) for rule in rules)
-        lexicon_list = []
-        for key, value in lexicon.items():
+        phrasal: list = []
+        lexicon: dict = {}
+        self.to_rules(phrasal, lexicon)
+        rules_str = ",".join(p.name for p in phrasal)
+        entries = []
+        for key, values in lexicon.items():
             if isinstance(key, Nonterminal):
-                symbol_str = "NT"
-                for rhs_symbol in value:
-                    symbol_str += ":{}".format(rhs_symbol)
-                lexicon_list.append(symbol_str)
+                entries.append("NT" + "".join(
+                    ":{}".format(v.name) for v in values))
             else:
-                lexicon_list.append("T:{}".format(value[0].name))
-        return rules_str + ";" + ",".join(lexicon_list)
+                entries.append("T:{}".format(values[0].name))
+        return rules_str + ";" + ",".join(entries)
 
 
-class Template:
-    """A constituency tree without lexical rules; expands leftmost-first."""
+# Phrasal production specs per grammar type. Order matters twice over: it is
+# the template-expansion trial order AND (via rule_str_to_rules) the command
+# enumeration order, both of which the generated dataset's example order
+# depends on.
+_PHRASAL_SPECS = {
+    "ROOT -> VP": dict(lhs=ROOT, rhs=(VP,), combine="pass"),
+    "ROOT -> VP 'and' ROOT": dict(lhs=ROOT, rhs=(VP, Terminal("and"), ROOT),
+                                  combine="conj"),
+    "VP -> VP RB": dict(lhs=VP, rhs=(VP, RB), combine="modify", max_uses=1),
+    "VP -> VV_intrans 'to' DP": dict(
+        lhs=VP, rhs=(VV_intransitive, Terminal("to"), DP), combine="verb"),
+    "VP -> VV_trans DP": dict(lhs=VP, rhs=(VV_transitive, DP),
+                              combine="verb"),
+    "DP -> 'a' NP": dict(lhs=DP, rhs=(Terminal("a"), NP), combine="pass"),
+    "NP -> JJ NP": dict(lhs=NP, rhs=(JJ, NP), combine="modify"),
+    "NP -> NN": dict(lhs=NP, rhs=(NN,), combine="pass"),
+}
 
-    def __init__(self):
-        self._left_values = []
-        self._right_values = []
-        self._leftmost_nonterminal = None
-        self.rules = []
+_GRAMMAR_TYPES = {
+    "conjunction": ["ROOT -> VP", "ROOT -> VP 'and' ROOT", "VP -> VP RB",
+                    "VP -> VV_intrans 'to' DP", "VP -> VV_trans DP",
+                    "DP -> 'a' NP", "NP -> JJ NP", "NP -> NN"],
+    "adverb": ["ROOT -> VP", "VP -> VP RB", "VP -> VV_intrans 'to' DP",
+               "VP -> VV_trans DP", "DP -> 'a' NP", "NP -> JJ NP",
+               "NP -> NN"],
+    "normal": ["ROOT -> VP", "VP -> VV_intrans 'to' DP", "VP -> VV_trans DP",
+               "DP -> 'a' NP", "NP -> JJ NP", "NP -> NN"],
+    "simple_trans": ["ROOT -> VP", "VP -> VV_trans DP", "DP -> 'a' NP",
+                     "NP -> JJ NP", "NP -> NN"],
+    "simple_intrans": ["ROOT -> VP", "VP -> VV_intrans 'to' DP",
+                       "DP -> 'a' NP", "NP -> JJ NP", "NP -> NN"],
+}
 
-    def add_value(self, value, expandable: bool):
-        if expandable and not self._leftmost_nonterminal:
-            self._leftmost_nonterminal = value
-        elif self._leftmost_nonterminal:
-            self._right_values.append(value)
-        else:
-            self._left_values.append(value)
-
-    def has_nonterminal(self) -> bool:
-        return self._leftmost_nonterminal is not None
-
-    def get_leftmost_nonterminal(self):
-        assert self.has_nonterminal(), (
-            "Trying to get a NT but none present in this derivation.")
-        return self._leftmost_nonterminal
-
-    def expand_leftmost_nonterminal(self, rule, expandables) -> "Template":
-        new_template = Template()
-        new_symbols = self._left_values + rule.rhs + self._right_values
-        new_template.rules = self.rules.copy()
-        new_template.rules.append(rule)
-        for value in new_symbols:
-            new_template.add_value(value, expandable=value in expandables)
-        return new_template
-
-    def to_derivation(self):
-        assert not self.has_nonterminal(), (
-            "Trying to write a non-terminal to a string.")
-        self.rules.reverse()
-        return self._left_values, self.rules
+# The two simple grammars only allow ONE stacked adjective
+# (reference grammar.py:340-341: NpWrapper(max_recursion=1)).
+_NP_WRAP_USES = {"simple_trans": 1, "simple_intrans": 1}
 
 
 class Grammar:
-    RULES = {
-        "conjunction": [Root(), RootConj(max_recursion=2), VpWrapper(),
-                        VpIntransitive(), VpTransitive(), Dp(),
-                        NpWrapper(max_recursion=2), Np()],
-        "adverb": [Root(), VpWrapper(), VpIntransitive(), VpTransitive(), Dp(),
-                   NpWrapper(max_recursion=2), Np()],
-        "normal": [Root(), VpIntransitive(), VpTransitive(), Dp(),
-                   NpWrapper(max_recursion=2), Np()],
-        "simple_trans": [Root(), VpTransitive(), Dp(), NpWrapper(max_recursion=1),
-                         Np()],
-        "simple_intrans": [Root(), VpIntransitive(), Dp(),
-                           NpWrapper(max_recursion=1), Np()],
-    }
+    """The gSCAN grammar: production table + enumeration + semantics."""
 
     def __init__(self, vocabulary: ClassVar, max_recursion: int = 1,
                  type_grammar: str = "normal"):
-        assert type_grammar in self.RULES, (
+        assert type_grammar in _GRAMMAR_TYPES, (
             "Specified unsupported type grammar {}".format(type_grammar))
         self.type_grammar = type_grammar
         if type_grammar == "simple_intrans":
@@ -330,37 +314,71 @@ class Grammar:
         elif type_grammar == "simple_trans":
             assert len(vocabulary.get_transitive_verbs()) > 0, (
                 "Please specify transitive verbs.")
-        self.rule_list = self.RULES[type_grammar] + self.lexical_rules(
-            vocabulary.get_intransitive_verbs(), vocabulary.get_transitive_verbs(),
-            vocabulary.get_adverbs(), vocabulary.get_nouns(),
-            vocabulary.get_color_adjectives(), vocabulary.get_size_adjectives())
-        nonterminals = {rule.lhs for rule in self.rule_list}
-        self.rules = {nt: [] for nt in nonterminals}
-        self.nonterminals = {nt.name: nt for nt in nonterminals}
-        self.terminals = {}
-
         self.vocabulary = vocabulary
-        self.rule_str_to_rules = {}
-        for rule in self.rule_list:
-            self.rules[rule.lhs].append(rule)
-            self.rule_str_to_rules[str(rule)] = rule
-        self.expandables = set(rule.lhs for rule in self.rule_list
-                               if not isinstance(rule, LexicalRule))
+        self.max_recursion = max_recursion
+
+        self.rule_list = self._build_productions(type_grammar, vocabulary)
+        self.rules: Dict[Nonterminal, List[Production]] = {}
+        for production in self.rule_list:
+            self.rules.setdefault(production.lhs, []).append(production)
+        self.nonterminals = {nt.name: nt for nt in self.rules}
+        self.terminals: dict = {}
+        self.rule_str_to_rules = {p.name: p for p in self.rule_list}
+        self.expandables = {p.lhs for p in self.rule_list if not p.is_lexical}
+
         self.categories = {
             "manner": set(vocabulary.get_adverbs()),
             "shape": set(vocabulary.get_nouns()),
             "color": set(vocabulary.get_color_adjectives()),
             "size": set(vocabulary.get_size_adjectives()),
         }
-        self.word_to_category = {}
-        for category, words in self.categories.items():
-            for word in words:
-                self.word_to_category[word] = category
+        self.word_to_category = {
+            word: category for category, words in self.categories.items()
+            for word in words}
 
-        self.max_recursion = max_recursion
-        self.all_templates = []
-        self.all_derivations = {}
+        self.all_templates: list = []
+        self.all_derivations: dict = {}
         self.command_statistics = self.empty_command_statistics()
+
+    @staticmethod
+    def _build_productions(type_grammar: str, vocabulary) -> List[Production]:
+        """Phrasal productions for the grammar type, then the lexicon.
+
+        Lexical order (verbs, adverbs, nouns, colors, sizes) fixes the
+        command enumeration order."""
+        assert (vocabulary.get_size_adjectives()
+                or vocabulary.get_color_adjectives()), (
+            "Please specify words for at least one of size_adjectives or "
+            "color_adjectives.")
+        productions = []
+        np_wrap_uses = _NP_WRAP_USES.get(type_grammar, 2)
+        for name in _GRAMMAR_TYPES[type_grammar]:
+            spec = dict(_PHRASAL_SPECS[name])
+            if name == "NP -> JJ NP":
+                spec["max_uses"] = np_wrap_uses
+            productions.append(Production(name=name, **spec))
+        for verb in vocabulary.get_intransitive_verbs():
+            productions.append(_lexical(
+                VV_intransitive, verb, EVENT,
+                Weights(action=verb, is_transitive=False)))
+        for verb in vocabulary.get_transitive_verbs():
+            productions.append(_lexical(
+                VV_transitive, verb, EVENT,
+                Weights(action=verb, is_transitive=True)))
+        if type_grammar in ("adverb", "conjunction", "full"):
+            for word in vocabulary.get_adverbs():
+                productions.append(_lexical(RB, word, EVENT,
+                                            Weights(manner=word)))
+        for word in vocabulary.get_nouns():
+            productions.append(_lexical(NN, word, ENTITY,
+                                        Weights(noun=word)))
+        for word in vocabulary.get_color_adjectives():
+            productions.append(_lexical(JJ, word, ENTITY,
+                                        Weights(adjective_type=COLOR)))
+        for word in vocabulary.get_size_adjectives():
+            productions.append(_lexical(JJ, word, ENTITY,
+                                        Weights(adjective_type=SIZE)))
+        return productions
 
     @staticmethod
     def empty_command_statistics():
@@ -371,156 +389,137 @@ class Grammar:
         self.all_templates.clear()
         self.all_derivations.clear()
 
-    def lexical_rules(self, verbs_intrans: List[str], verbs_trans: List[str],
-                      adverbs: List[str], nouns: List[str],
-                      color_adjectives: List[str],
-                      size_adjectives: List[str]) -> list:
-        assert size_adjectives or color_adjectives, (
-            "Please specify words for at least one of size_adjectives or "
-            "color_adjectives.")
-        all_rules = []
-        all_rules += [LexicalRule(lhs=VV_intransitive, word=verb, sem_type=EVENT,
-                                  specs=Weights(action=verb, is_transitive=False))
-                      for verb in verbs_intrans]
-        all_rules += [LexicalRule(lhs=VV_transitive, word=verb, sem_type=EVENT,
-                                  specs=Weights(action=verb, is_transitive=True))
-                      for verb in verbs_trans]
-        if self.type_grammar in ("adverb", "conjunction", "full"):
-            all_rules += [LexicalRule(lhs=RB, word=word, sem_type=EVENT,
-                                      specs=Weights(manner=word))
-                          for word in adverbs]
-        all_rules += [LexicalRule(lhs=NN, word=word, sem_type=ENTITY,
-                                  specs=Weights(noun=word)) for word in nouns]
-        if color_adjectives:
-            all_rules += [LexicalRule(lhs=JJ, word=word, sem_type=ENTITY,
-                                      specs=Weights(adjective_type=COLOR))
-                          for word in color_adjectives]
-        if size_adjectives:
-            all_rules += [LexicalRule(lhs=JJ, word=word, sem_type=ENTITY,
-                                      specs=Weights(adjective_type=SIZE))
-                          for word in size_adjectives]
-        return all_rules
+    # -- template enumeration ------------------------------------------
 
-    def sample(self, symbol=ROOT, last_rule=None, recursion=0):
-        """Sample a random derivation from the grammar."""
-        if isinstance(symbol, Terminal):
-            return symbol
-        nonterminal_rules = self.rules[symbol]
-        if recursion == self.max_recursion - 1:
-            nonterminal_rules = [r for r in nonterminal_rules if r != last_rule]
-        next_rule = nonterminal_rules[np.random.randint(len(nonterminal_rules))]
-        next_recursion = recursion + 1 if next_rule == last_rule else 0
-        return Derivation(
-            next_rule,
-            tuple(self.sample(next_symbol, next_rule, next_recursion)
-                  for next_symbol in next_rule.rhs),
-            meta={"recursion": recursion})
+    def _enumerate_templates(self) -> Iterator[Tuple[list, list]]:
+        """All complete sentential forms, leftmost-first depth-first.
 
-    def generate_all(self, current_template: Template, all_templates: list,
-                     rule_use_counter: dict):
-        """Exhaustively expand templates, bounding recursion per rule."""
-        if not current_template.has_nonterminal():
-            all_templates.append(current_template.to_derivation())
-            return
-        leftmost_nonterminal = current_template.get_leftmost_nonterminal()
-        for rule in self.rules[leftmost_nonterminal]:
-            if isinstance(rule, LexicalRule):
-                continue
-            rule_use_counter_copy = rule_use_counter.copy()
-            if rule in rule_use_counter_copy.keys():
-                if rule_use_counter[rule] >= rule.max_recursion:
-                    continue
-                rule_use_counter_copy[rule] += 1
-            else:
-                rule_use_counter_copy[rule] = 1
-            next_template = current_template.expand_leftmost_nonterminal(
-                rule, self.expandables)
-            self.generate_all(next_template, all_templates, rule_use_counter_copy)
-
-    def form_commands_from_template(self, derivation_template: list,
-                                    derivation_rules: list):
-        """Instantiate a template with every compatible lexicon assignment.
-
-        Repeated adjacent nonterminals (stacked JJs) get category-disjoint word
-        sets so commands like 'the red red circle' are never generated.
+        Yields (symbols, productions-in-application-order); ``symbols``
+        still contains lexical categories (NN/JJ/...), which the lexicon
+        instantiates later. Per-production use counts bound recursion: a
+        production may appear at most max(max_uses, 1) times per branch.
         """
-        replaced_template = []
-        previous_symbol = None
-        lexicon = {}
-        for symbol in derivation_template:
-            if isinstance(symbol, Nonterminal):
-                if not self.rules.get(symbol):
-                    # A category with no lexical rules (e.g. transitive verbs
-                    # not specified): no command can instantiate this template.
-                    return []
-                possible_words = [s.name for s in self.rules[symbol]]
-                for rule in self.rules[symbol]:
-                    lexicon[rule.name] = rule
-                if previous_symbol == symbol:
-                    previous_words = replaced_template.pop()
-                    first_words, second_words = self.split_on_category(previous_words)
-                    replaced_template.append(first_words)
-                    replaced_template.append(second_words)
-                else:
-                    replaced_template.append(possible_words)
-            else:
-                lexicon[symbol.name] = symbol
-                replaced_template.append([symbol.name])
-            previous_symbol = symbol
 
-        all_commands = list(product(*replaced_template))
-        all_derivations = []
-        for command in all_commands:
-            command_lexicon = {}
-            for word, symbol in zip(command, derivation_template):
-                if symbol not in command_lexicon:
-                    command_lexicon[symbol] = [lexicon[word]]
+        def expand(form, counts, applied):
+            head_pos = next((i for i, s in enumerate(form)
+                             if s in self.expandables), None)
+            if head_pos is None:
+                yield list(form), list(applied)
+                return
+            for production in self.rules[form[head_pos]]:
+                if production.is_lexical:
+                    continue
+                used = counts.get(production.name, 0)
+                if used >= max(production.max_uses, 1):
+                    continue
+                next_counts = dict(counts)
+                next_counts[production.name] = used + 1
+                next_form = (form[:head_pos] + list(production.rhs)
+                             + form[head_pos + 1:])
+                yield from expand(next_form, next_counts,
+                                  applied + [production])
+
+        return expand([ROOT], {}, [])
+
+    # -- command instantiation -------------------------------------------
+
+    def _split_on_category(self, words: List[str]):
+        """Partition a word list into (same category as words[0], rest) —
+        the stacked-adjective de-duplication: 'red big circle' is generated,
+        'red red circle' never is."""
+        anchor = self.category(words[0])
+        same = [w for w in words if self.category(w) == anchor]
+        other = [w for w in words[1:] if self.category(w) != anchor]
+        return same, other
+
+    def _instantiate_template(self, symbols: list,
+                              rules_bottom_up: list) -> list:
+        """Assign every compatible lexicon combination to a template.
+
+        Adjacent repeats of one category get category-disjoint word slots;
+        returns the resulting Derivations in ``itertools.product`` order.
+        """
+        slots: List[List[str]] = []
+        word_entry: dict = {}
+        previous = None
+        for symbol in symbols:
+            if isinstance(symbol, Nonterminal):
+                options = self.rules.get(symbol)
+                if not options:
+                    # A category with no lexical entries (e.g. no transitive
+                    # verbs configured): this template yields no commands.
+                    return []
+                for production in options:
+                    word_entry[production.word] = production
+                if previous == symbol:
+                    same, other = self._split_on_category(slots.pop())
+                    slots.append(same)
+                    slots.append(other)
                 else:
-                    command_lexicon[symbol] = [lexicon[word]] + command_lexicon[symbol]
+                    slots.append([p.word for p in options])
+            else:
+                word_entry[symbol.name] = symbol
+                slots.append([symbol.name])
+            previous = symbol
+
+        derivations = []
+        for command in product(*slots):
+            assignment: dict = {}
+            for word, symbol in zip(command, symbols):
+                assignment[symbol] = [word_entry[word]] + assignment.get(
+                    symbol, [])
                 if isinstance(symbol, Nonterminal):
                     stats = self.command_statistics[symbol]
                     stats[word] = stats.get(word, 0) + 1
-            derivation = Derivation.from_rules(derivation_rules.copy(), symbol=ROOT,
-                                               lexicon=command_lexicon)
+            derivation = Derivation.from_rules(
+                list(rules_bottom_up), symbol=ROOT, lexicon=assignment)
             assert " ".join(derivation.words()) == " ".join(command), (
                 "Derivation and command not the same.")
-            all_derivations.append(derivation)
-        return all_derivations
+            derivations.append(derivation)
+        return derivations
 
-    def generate_all_commands(self):
-        initial_template = Template()
-        initial_template.add_value(value=ROOT, expandable=True)
-        self.generate_all(current_template=initial_template,
-                          all_templates=self.all_templates, rule_use_counter={})
-        for i, (derivation_template, derivation_rules) in enumerate(
-                self.all_templates):
-            self.all_derivations[i] = self.form_commands_from_template(
-                derivation_template, derivation_rules)
+    def generate_all_commands(self) -> None:
+        for symbols, applied in self._enumerate_templates():
+            # from_rules consumes by pop(): store bottom-up (reversed
+            # application order) — also the serialization order.
+            self.all_templates.append((symbols, list(reversed(applied))))
+        for i, (symbols, rules_bottom_up) in enumerate(self.all_templates):
+            self.all_derivations[i] = self._instantiate_template(
+                symbols, rules_bottom_up)
 
-    def split_on_category(self, words_list):
-        first_category_words = [words_list[0]]
-        second_category_words = []
-        first_category = self.category(words_list[0])
-        for word in words_list[1:]:
-            if self.category(word) == first_category:
-                first_category_words.append(word)
-            else:
-                second_category_words.append(word)
-        return first_category_words, second_category_words
+    # -- sampling & coherence ----------------------------------------------
 
-    def category(self, function):
-        return self.word_to_category.get(function)
+    def sample(self, symbol=ROOT, last_rule=None, recursion=0):
+        """Sample one random derivation (uniform over each symbol's
+        productions; a production that would repeat at the recursion cap is
+        excluded from the draw)."""
+        if isinstance(symbol, Terminal):
+            return symbol
+        candidates = self.rules[symbol]
+        if recursion == self.max_recursion - 1:
+            candidates = [p for p in candidates if p is not last_rule]
+        production = candidates[np.random.randint(len(candidates))]
+        next_recursion = recursion + 1 if production is last_rule else 0
+        return Derivation(
+            production,
+            tuple(self.sample(child, production, next_recursion)
+                  for child in production.rhs),
+            meta={"recursion": recursion})
+
+    def category(self, word: str) -> Optional[str]:
+        return self.word_to_category.get(word)
 
     def is_coherent(self, logical_form) -> bool:
-        """A LF is coherent iff each variable's modifiers have unique categories."""
+        """A LF is coherent iff no variable carries two modifiers of the
+        same category (rejects e.g. 'the red blue circle')."""
         for variable in logical_form.variables:
-            functions = [t.function for t in logical_form.terms
-                         if variable in t.arguments]
-            categories = [self.category(f) for f in functions]
+            categories = [self.category(term.function)
+                          for term in logical_form.terms
+                          if variable in term.arguments]
             categories = [c for c in categories if c is not None]
             if len(categories) != len(set(categories)):
                 return False
         return True
 
     def __str__(self):
-        return "".join(str(rule) + ";" for rule in self.rule_list)
+        return "".join(p.name + ";" for p in self.rule_list)
