@@ -213,6 +213,15 @@ def run_test(flags, data_path):
     import jax
 
     from multimodal_seq2seq_gscan_tpu.data.dataset import GroundedScanDataset
+
+    mesh = None
+    if flags.get("data_parallel", 0) and flags["data_parallel"] > 1:
+        from multimodal_seq2seq_gscan_tpu.parallel import make_mesh
+        n = flags["data_parallel"]
+        assert len(jax.devices()) >= n, (
+            "--data_parallel={} but only {} devices are available".format(
+                n, len(jax.devices())))
+        mesh = make_mesh(jax.devices()[:n], data_parallel=n)
     from multimodal_seq2seq_gscan_tpu.decode.predict import predict_and_save
     from multimodal_seq2seq_gscan_tpu.models import ModelConfig
     from multimodal_seq2seq_gscan_tpu.train import checkpoint as ckpt
@@ -302,7 +311,7 @@ def run_test(flags, data_path):
             output_file_path=output_file_path,
             max_decoding_steps=flags["max_decoding_steps"],
             batch_size=flags["test_batch_size"],
-            max_testing_examples=flags["max_testing_examples"])
+            max_testing_examples=flags["max_testing_examples"], mesh=mesh)
         logger.info("Saved predictions to {}".format(output_file))
 
 

@@ -31,9 +31,13 @@ def predict(dataset: GroundedScanDataset, params: ModelParams,
             config: ModelConfig, max_decoding_steps: int,
             batch_size: int = 256,
             max_examples_to_evaluate: Optional[int] = None,
-            pad_to_full_batch: bool = True) -> Iterator[dict]:
-    """Greedy-decode the dataset in batches; yield one record dict per example."""
-    decoder = make_greedy_decoder(config, max_decoding_steps)
+            pad_to_full_batch: bool = True, mesh=None) -> Iterator[dict]:
+    """Greedy-decode the dataset in batches; yield one record dict per example.
+
+    With ``mesh``, each batch is sharded over the mesh's 'data' axis and the
+    decoder runs data-parallel (pad_to_full_batch keeps shards equal-sized).
+    """
+    decoder = make_greedy_decoder(config, max_decoding_steps, mesh=mesh)
     start_time = time.time()
     produced = 0
     done = False
@@ -88,12 +92,13 @@ def predict_and_save(dataset: GroundedScanDataset, params: ModelParams,
                      config: ModelConfig, output_file_path: str,
                      max_decoding_steps: int, batch_size: int = 256,
                      max_testing_examples: Optional[int] = None,
-                     **kwargs) -> str:
+                     mesh=None, **kwargs) -> str:
     """Decode the dataset and write the canonical predict.json."""
     output = []
     for record in predict(dataset, params, config, max_decoding_steps,
                           batch_size=batch_size,
-                          max_examples_to_evaluate=max_testing_examples):
+                          max_examples_to_evaluate=max_testing_examples,
+                          mesh=mesh):
         target_no_markers = record["target_ids"][1:-1].tolist()
         accuracy = sequence_accuracy(record["output_ids"], target_no_markers)
         input_str = dataset.array_to_sentence(
@@ -123,14 +128,15 @@ def predict_and_save(dataset: GroundedScanDataset, params: ModelParams,
 def evaluate(dataset: GroundedScanDataset, params: ModelParams,
              config: ModelConfig, max_decoding_steps: int,
              batch_size: int = 256,
-             max_examples_to_evaluate: Optional[int] = None):
+             max_examples_to_evaluate: Optional[int] = None, mesh=None):
     """(mean token accuracy, % exact match, mean aux position accuracy)."""
     accuracies: List[float] = []
     target_accuracies: List[float] = []
     exact_match = 0
     for record in predict(dataset, params, config, max_decoding_steps,
                           batch_size=batch_size,
-                          max_examples_to_evaluate=max_examples_to_evaluate):
+                          max_examples_to_evaluate=max_examples_to_evaluate,
+                          mesh=mesh):
         accuracy = sequence_accuracy(record["output_ids"],
                                      record["target_ids"][1:-1].tolist())
         if accuracy == 100:

@@ -187,7 +187,7 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
                     dev_set, state.params, config,
                     max_decoding_steps=max_decoding_steps,
                     batch_size=evaluation_batch_size,
-                    max_examples_to_evaluate=max_testing_examples)
+                    max_examples_to_evaluate=max_testing_examples, mesh=mesh)
                 logger.info(
                     "  Evaluation Accuracy: %5.2f Exact Match: %5.2f "
                     " Target Accuracy: %5.2f"

@@ -156,3 +156,60 @@ def test_data_parallel_training_on_mesh(loaded_sets):
     state2, metrics2 = single_step(state2, batch)
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(metrics2["loss"]), rtol=1e-5)
+
+
+def test_data_parallel_decode_on_mesh(loaded_sets):
+    """Sharded greedy decode must match single-device decode token-for-token
+    (round-1 verdict item 7: eval/decode previously had no mesh path)."""
+    import jax.numpy as jnp
+
+    from multimodal_seq2seq_gscan_tpu.decode.greedy import (
+        make_greedy_decoder, strip_output_sequences)
+
+    train_set, test_set = loaded_sets
+    mesh = make_mesh()
+    config = _make_config(train_set)
+    optimizer = make_optimizer()
+    state = create_train_state(jax.random.PRNGKey(3), config, optimizer)
+
+    batch, _, _, _ = next(test_set.get_data_iterator(
+        batch_size=32, pad_to_full_batch=True))
+    args = (jnp.asarray(batch.input_ids), jnp.asarray(batch.input_lengths),
+            jnp.asarray(batch.situations), jnp.asarray(batch.target_positions))
+
+    sharded_out = make_greedy_decoder(config, 30, mesh=mesh)(
+        state.params, *args)
+    single_out = make_greedy_decoder(config, 30)(state.params, *args)
+
+    seq_sharded, _ = strip_output_sequences(sharded_out, config.target_eos_idx)
+    seq_single, _ = strip_output_sequences(single_out, config.target_eos_idx)
+    assert seq_sharded == seq_single
+    np.testing.assert_allclose(
+        np.asarray(sharded_out.attention_situations),
+        np.asarray(single_out.attention_situations), atol=1e-5)
+
+
+def test_mesh_predict_and_save_matches_single_device(loaded_sets, tmp_path):
+    """predict_and_save(mesh=...) writes identical records (mesh path wired
+    through predict/evaluate/CLI)."""
+    train_set, test_set = loaded_sets
+    mesh = make_mesh()
+    config = _make_config(train_set)
+    optimizer = make_optimizer()
+    state = create_train_state(jax.random.PRNGKey(3), config, optimizer)
+
+    single_path = str(tmp_path / "single.json")
+    mesh_path = str(tmp_path / "mesh.json")
+    predict_and_save(test_set, state.params, config, single_path,
+                     max_decoding_steps=30, batch_size=16)
+    predict_and_save(test_set, state.params, config, mesh_path,
+                     max_decoding_steps=30, batch_size=16, mesh=mesh)
+    with open(single_path) as f:
+        single = json.load(f)
+    with open(mesh_path) as f:
+        sharded = json.load(f)
+    assert len(single) == len(sharded)
+    for a, b in zip(single, sharded):
+        assert a["input"] == b["input"]
+        assert a["prediction"] == b["prediction"]
+        assert a["exact_match"] == b["exact_match"]
