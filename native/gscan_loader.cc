@@ -62,6 +62,11 @@ class Parser {
     return false;
   }
 
+  // Bounds-safe one-byte lookahead: '\0' past the end of the mapping, so a
+  // truncated file fails cleanly in whatever parse state it interrupts
+  // instead of dereferencing past the map.
+  char Peek() const { return p_ < end_ ? *p_ : '\0'; }
+
   void SkipWs() {
     while (p_ < end_ && (*p_ == ' ' || *p_ == '\n' || *p_ == '\t' ||
                          *p_ == '\r')) {
@@ -73,7 +78,7 @@ class Parser {
   // gSCAN command/derivation strings contain no escapes; if one shows up we
   // record the raw span (callers json-decode the situation spans anyway).
   bool ScanString(uint64_t* off, uint64_t* len) {
-    if (*p_ != '"') return Fail("expected string");
+    if (Peek() != '"') return Fail("expected string");
     ++p_;
     const char* start = p_;
     while (p_ < end_) {
@@ -81,7 +86,7 @@ class Parser {
         p_ += 2;
         continue;
       }
-      if (*p_ == '"') {
+      if (Peek() == '"') {
         *off = start - ds_->data;
         *len = p_ - start;
         ++p_;
@@ -94,7 +99,7 @@ class Parser {
 
   bool SkipValue() {
     SkipWs();
-    switch (*p_) {
+    switch (Peek()) {
       case '{': return SkipObject();
       case '[': return SkipArray();
       case '"': {
@@ -112,52 +117,60 @@ class Parser {
   }
 
   bool SkipObject() {
-    if (*p_ != '{') return Fail("expected {");
+    if (Peek() != '{') return Fail("expected {");
     ++p_;
     SkipWs();
-    if (*p_ == '}') { ++p_; return true; }
+    if (Peek() == '}') { ++p_; return true; }
     while (true) {
       SkipWs();
       uint64_t o, l;
       if (!ScanString(&o, &l)) return false;
       SkipWs();
-      if (*p_ != ':') return Fail("expected :");
+      if (Peek() != ':') return Fail("expected :");
       ++p_;
       if (!SkipValue()) return false;
       SkipWs();
-      if (*p_ == ',') { ++p_; continue; }
-      if (*p_ == '}') { ++p_; return true; }
+      if (Peek() == ',') { ++p_; continue; }
+      if (Peek() == '}') { ++p_; return true; }
       return Fail("expected , or } in object");
     }
   }
 
   bool SkipArray() {
-    if (*p_ != '[') return Fail("expected [");
+    if (Peek() != '[') return Fail("expected [");
     ++p_;
     SkipWs();
-    if (*p_ == ']') { ++p_; return true; }
+    if (Peek() == ']') { ++p_; return true; }
     while (true) {
       if (!SkipValue()) return false;
       SkipWs();
-      if (*p_ == ',') { ++p_; continue; }
-      if (*p_ == ']') { ++p_; return true; }
+      if (Peek() == ',') { ++p_; continue; }
+      if (Peek() == ']') { ++p_; return true; }
       return Fail("expected , or ] in array");
     }
   }
 
   bool ParseInt(long* out) {
     SkipWs();
+    if (p_ >= end_) return Fail("expected integer");
+    // Copy into a terminated buffer: the mapping is not null-terminated, so
+    // strtol on a number abutting EOF could read past the last page.
+    char buf[32];
+    size_t n = (size_t)(end_ - p_);
+    if (n > sizeof(buf) - 1) n = sizeof(buf) - 1;
+    memcpy(buf, p_, n);
+    buf[n] = 0;
     char* next = nullptr;
-    *out = strtol(p_, &next, 10);
-    if (next == p_) return Fail("expected integer");
-    p_ = next;
+    *out = strtol(buf, &next, 10);
+    if (next == buf) return Fail("expected integer");
+    p_ += (next - buf);
     return true;
   }
 
   // Parses an integer that may be quoted ("7" or 7).
   bool ParseMaybeQuotedInt(long* out) {
     SkipWs();
-    if (*p_ == '"') {
+    if (Peek() == '"') {
       uint64_t o, l;
       if (!ScanString(&o, &l)) return false;
       *out = strtol(ds_->data + o, nullptr, 10);
@@ -170,14 +183,14 @@ class Parser {
 
   bool ParseTop() {
     SkipWs();
-    if (*p_ != '{') return Fail("expected top-level object");
+    if (Peek() != '{') return Fail("expected top-level object");
     ++p_;
     while (true) {
       SkipWs();
       uint64_t ko, kl;
       if (!ScanString(&ko, &kl)) return false;
       SkipWs();
-      if (*p_ != ':') return Fail("expected :");
+      if (Peek() != ':') return Fail("expected :");
       ++p_;
       std::string key(ds_->data + ko, kl);
       if (key == "grid_size") {
@@ -190,61 +203,61 @@ class Parser {
         if (!SkipValue()) return false;
       }
       SkipWs();
-      if (*p_ == ',') { ++p_; continue; }
-      if (*p_ == '}') return true;
+      if (Peek() == ',') { ++p_; continue; }
+      if (Peek() == '}') return true;
       return Fail("expected , or } at top level");
     }
   }
 
   bool ParseExamples() {
     SkipWs();
-    if (*p_ != '{') return Fail("expected examples object");
+    if (Peek() != '{') return Fail("expected examples object");
     ++p_;
     SkipWs();
-    if (*p_ == '}') { ++p_; return true; }
+    if (Peek() == '}') { ++p_; return true; }
     while (true) {
       SkipWs();
       uint64_t ko, kl;
       if (!ScanString(&ko, &kl)) return false;
       std::string split(ds_->data + ko, kl);
       SkipWs();
-      if (*p_ != ':') return Fail("expected :");
+      if (Peek() != ':') return Fail("expected :");
       ++p_;
       if (!ParseSplit(&ds_->splits[split])) return false;
       SkipWs();
-      if (*p_ == ',') { ++p_; continue; }
-      if (*p_ == '}') { ++p_; return true; }
+      if (Peek() == ',') { ++p_; continue; }
+      if (Peek() == '}') { ++p_; return true; }
       return Fail("expected , or } in examples");
     }
   }
 
   bool ParseSplit(SplitData* split) {
     SkipWs();
-    if (*p_ != '[') return Fail("expected split array");
+    if (Peek() != '[') return Fail("expected split array");
     ++p_;
     SkipWs();
-    if (*p_ == ']') { ++p_; return true; }
+    if (Peek() == ']') { ++p_; return true; }
     while (true) {
       Example ex;
       if (!ParseExample(split, &ex)) return false;
       split->examples.push_back(ex);
       SkipWs();
-      if (*p_ == ',') { ++p_; continue; }
-      if (*p_ == ']') { ++p_; return true; }
+      if (Peek() == ',') { ++p_; continue; }
+      if (Peek() == ']') { ++p_; return true; }
       return Fail("expected , or ] in split");
     }
   }
 
   bool ParseExample(SplitData* split, Example* ex) {
     SkipWs();
-    if (*p_ != '{') return Fail("expected example object");
+    if (Peek() != '{') return Fail("expected example object");
     ++p_;
     while (true) {
       SkipWs();
       uint64_t ko, kl;
       if (!ScanString(&ko, &kl)) return false;
       SkipWs();
-      if (*p_ != ':') return Fail("expected :");
+      if (Peek() != ':') return Fail("expected :");
       ++p_;
       std::string key(ds_->data + ko, kl);
       if (key == "command") {
@@ -268,8 +281,8 @@ class Parser {
         if (!SkipValue()) return false;
       }
       SkipWs();
-      if (*p_ == ',') { ++p_; continue; }
-      if (*p_ == '}') { ++p_; return true; }
+      if (Peek() == ',') { ++p_; continue; }
+      if (Peek() == '}') { ++p_; return true; }
       return Fail("expected , or } in example");
     }
   }
@@ -281,7 +294,7 @@ class Parser {
 
   bool ParseSituation(SplitData* split, Example* ex) {
     SkipWs();
-    if (*p_ != '{') return Fail("expected situation object");
+    if (Peek() != '{') return Fail("expected situation object");
     ++p_;
     long agent_row = -1, agent_col = -1, agent_dir = -1;
     long target_row = -1, target_col = -1;
@@ -291,7 +304,7 @@ class Parser {
       uint64_t ko, kl;
       if (!ScanString(&ko, &kl)) return false;
       SkipWs();
-      if (*p_ != ':') return Fail("expected :");
+      if (Peek() != ':') return Fail("expected :");
       ++p_;
       std::string key(ds_->data + ko, kl);
       if (key == "agent_position") {
@@ -300,7 +313,7 @@ class Parser {
         if (!ParseMaybeQuotedInt(&agent_dir)) return false;
       } else if (key == "target_object") {
         SkipWs();
-        if (strncmp(p_, "null", 4) == 0) {
+        if (end_ - p_ >= 4 && strncmp(p_, "null", 4) == 0) {
           p_ += 4;
         } else {
           PlacedObject target;
@@ -314,8 +327,8 @@ class Parser {
         if (!SkipValue()) return false;
       }
       SkipWs();
-      if (*p_ == ',') { ++p_; continue; }
-      if (*p_ == '}') { ++p_; break; }
+      if (Peek() == ',') { ++p_; continue; }
+      if (Peek() == '}') { ++p_; break; }
       return Fail("expected , or } in situation");
     }
     // Rasterize the dense grid.
@@ -331,14 +344,27 @@ class Parser {
     int d = c - 5;
     for (const PlacedObject& obj : objects) {
       if ((int)obj.vector.size() != d) return Fail("object vector length");
+      if (obj.row < 0 || obj.row >= g || obj.col < 0 || obj.col >= g) {
+        return Fail("object position out of grid bounds");
+      }
       uint8_t* cell = grid + ((size_t)obj.row * g + obj.col) * c;
       for (int i = 0; i < d; ++i) cell[i] = obj.vector[i] - '0';
     }
     if (agent_row >= 0) {
+      if (agent_row >= g || agent_col < 0 || agent_col >= g) {
+        return Fail("agent position out of grid bounds");
+      }
+      if (agent_dir < 0 || agent_dir >= 4) {
+        return Fail("agent direction out of range");
+      }
       uint8_t* cell = grid + ((size_t)agent_row * g + agent_col) * c;
       cell[d] = 1;
       cell[d + 1 + agent_dir] = 1;
       ex->agent_pos = (int32_t)(agent_row * g + agent_col);
+    }
+    if (target_row >= 0 && (target_row >= g || target_col < 0 ||
+                            target_col >= g)) {
+      return Fail("target position out of grid bounds");
     }
     if (target_row >= 0) {
       ex->target_pos = (int32_t)(target_row * g + target_col);
@@ -348,14 +374,14 @@ class Parser {
 
   bool ParsePosition(long* row, long* col) {
     SkipWs();
-    if (*p_ != '{') return Fail("expected position object");
+    if (Peek() != '{') return Fail("expected position object");
     ++p_;
     while (true) {
       SkipWs();
       uint64_t ko, kl;
       if (!ScanString(&ko, &kl)) return false;
       SkipWs();
-      if (*p_ != ':') return Fail("expected :");
+      if (Peek() != ':') return Fail("expected :");
       ++p_;
       std::string key(ds_->data + ko, kl);
       long value;
@@ -363,22 +389,22 @@ class Parser {
       if (key == "row") *row = value;
       else if (key == "column") *col = value;
       SkipWs();
-      if (*p_ == ',') { ++p_; continue; }
-      if (*p_ == '}') { ++p_; return true; }
+      if (Peek() == ',') { ++p_; continue; }
+      if (Peek() == '}') { ++p_; return true; }
       return Fail("expected , or } in position");
     }
   }
 
   bool ParsePositionedObject(PlacedObject* obj) {
     SkipWs();
-    if (*p_ != '{') return Fail("expected positioned object");
+    if (Peek() != '{') return Fail("expected positioned object");
     ++p_;
     while (true) {
       SkipWs();
       uint64_t ko, kl;
       if (!ScanString(&ko, &kl)) return false;
       SkipWs();
-      if (*p_ != ':') return Fail("expected :");
+      if (Peek() != ':') return Fail("expected :");
       ++p_;
       std::string key(ds_->data + ko, kl);
       if (key == "vector") {
@@ -392,31 +418,31 @@ class Parser {
         if (!SkipValue()) return false;
       }
       SkipWs();
-      if (*p_ == ',') { ++p_; continue; }
-      if (*p_ == '}') { ++p_; return true; }
+      if (Peek() == ',') { ++p_; continue; }
+      if (Peek() == '}') { ++p_; return true; }
       return Fail("expected , or } in positioned object");
     }
   }
 
   bool ParsePlacedObjects(std::vector<PlacedObject>* objects) {
     SkipWs();
-    if (*p_ != '{') return Fail("expected placed_objects object");
+    if (Peek() != '{') return Fail("expected placed_objects object");
     ++p_;
     SkipWs();
-    if (*p_ == '}') { ++p_; return true; }
+    if (Peek() == '}') { ++p_; return true; }
     while (true) {
       SkipWs();
       uint64_t ko, kl;
       if (!ScanString(&ko, &kl)) return false;  // the index key "0", "1", ...
       SkipWs();
-      if (*p_ != ':') return Fail("expected :");
+      if (Peek() != ':') return Fail("expected :");
       ++p_;
       PlacedObject obj;
       if (!ParsePositionedObject(&obj)) return false;
       objects->push_back(obj);
       SkipWs();
-      if (*p_ == ',') { ++p_; continue; }
-      if (*p_ == '}') { ++p_; return true; }
+      if (Peek() == ',') { ++p_; continue; }
+      if (Peek() == '}') { ++p_; return true; }
       return Fail("expected , or } in placed_objects");
     }
   }

@@ -109,3 +109,36 @@ def test_native_k_shot_move_is_seed_deterministic(dataset_path):
 
     assert load(7) == load(7)
     assert load(7) != load(8)
+
+@pytest.mark.parametrize("payload", [
+    # truncated mid-example
+    '{"grid_size": 6, "examples": {"train": [{"command": "walk',
+    # agent position outside the grid
+    '{"grid_size": 6, "examples": {"train": [{"command": "walk,walk", '
+    '"derivation": "d", "target_commands": "walk", "situation": '
+    '{"grid_size": 6, "agent_position": {"row": 99, "column": 0}, '
+    '"agent_direction": 0, "target_object": null, "placed_objects": '
+    '{"0": {"vector": "10000000000", "position": {"row": 1, "column": 1}}}'
+    '}}]}}',
+    # agent direction out of range
+    '{"grid_size": 6, "examples": {"train": [{"command": "walk,walk", '
+    '"derivation": "d", "target_commands": "walk", "situation": '
+    '{"grid_size": 6, "agent_position": {"row": 0, "column": 0}, '
+    '"agent_direction": 7, "target_object": null, "placed_objects": '
+    '{"0": {"vector": "10000000000", "position": {"row": 1, "column": 1}}}'
+    '}}]}}',
+    # object placed outside the grid
+    '{"grid_size": 6, "examples": {"train": [{"command": "walk,walk", '
+    '"derivation": "d", "target_commands": "walk", "situation": '
+    '{"grid_size": 6, "agent_position": {"row": 0, "column": 0}, '
+    '"agent_direction": 0, "target_object": null, "placed_objects": '
+    '{"0": {"vector": "10000000000", "position": {"row": 1, "column": 44}}}'
+    '}}]}}',
+])
+def test_native_loader_rejects_corrupt_files(tmp_path, payload):
+    """Corrupt / truncated / out-of-bounds dataset.txt must raise a clean
+    ValueError, never write out of bounds (round-1 advisor, medium)."""
+    path = tmp_path / "dataset.txt"
+    path.write_text(payload)
+    with pytest.raises(ValueError, match="native loader failed"):
+        native_loader.NativeDataset(str(path))
