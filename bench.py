@@ -1,74 +1,185 @@
-"""Benchmark: batched greedy decode throughput on the attached accelerator.
+"""Benchmark: batched greedy decode throughput with a TRAINED model on REAL
+gSCAN examples.
 
 Headline metric vs the reference's batch-1 decode loop: 21.35 ex/s on a CUDA
 GPU (2001 examples / 93.74 s, reference training log adverb_run_1.txt tail).
-We decode the same kind of workload — compositional-splits model shapes
-(15x15 grid, 120 max decoding steps, vocab 21/9) — but fully batched under one
-``lax.scan`` program.
+Here the same workload — trained compositional-splits model, real dev-split
+commands/situations, max 120 decoding steps — runs fully batched under one
+compiled program.
+
+Inputs (overridable via env):
+  BENCH_DATA       directory with dataset.txt + training vocab files
+                   (default: data/bench_fixture, a committed dev-split
+                   subset; falls back to data/compositional_splits_r10)
+  BENCH_CHECKPOINT trained checkpoint (default:
+                   runs/adverb_r10_seed66/model_best.msgpack)
+
+Reports the early-exit decode number (what evaluation actually runs) as the
+headline; the fixed-120-step (no early exit) number and the dev exact match
+of the decoded batches go to stderr so BENCH and PERFORMANCE.md can't drift
+apart. Falls back to synthetic data/params (metric name suffixed
+"_synthetic") only if the artifacts are missing.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_EXAMPLES_PER_SECOND = 21.35  # 2001 ex / 93.74 s, batch-1 reference
+MAX_DECODING_STEPS = 120              # all_experiments.sh test setting
+BATCH_SIZE = 512
+MAX_EXAMPLES = 4096
 
 
-def main():
+def _log(msg):
+    print(msg, file=sys.stderr)
+
+
+def _time_decoder(decoder, params, batches, repeats=3):
     import jax
-    from multimodal_seq2seq_gscan_tpu.decode.greedy import make_greedy_decoder
+
+    outs = [decoder(params, *b) for b in batches]  # compile + warm-up
+    jax.block_until_ready(outs[-1].tokens)
+    n_examples = repeats * sum(b[0].shape[0] for b in batches)
+    start = time.perf_counter()
+    for _ in range(repeats):
+        for b in batches:
+            out = decoder(params, *b)
+    jax.block_until_ready(out.tokens)
+    return n_examples / (time.perf_counter() - start), outs
+
+
+def _real_workload():
+    """(config, params, batches, target_id_lists) from trained artifacts."""
+    import jax
+
+    from multimodal_seq2seq_gscan_tpu.data.dataset import GroundedScanDataset
+    from multimodal_seq2seq_gscan_tpu.models import ModelConfig
+    from multimodal_seq2seq_gscan_tpu.train import checkpoint as ckpt
+    from multimodal_seq2seq_gscan_tpu.train.state import (
+        create_train_state, make_optimizer)
+
+    data_dir = os.environ.get("BENCH_DATA", "")
+    if not data_dir:
+        for candidate in ("data/bench_fixture", "data/compositional_splits_r10",
+                          "data/compositional_splits"):
+            if os.path.isfile(os.path.join(candidate, "dataset.txt")):
+                data_dir = candidate
+                break
+    ckpt_path = os.environ.get("BENCH_CHECKPOINT",
+                               "runs/adverb_r10_seed66/model_best.msgpack")
+    if not data_dir or not os.path.isfile(ckpt_path):
+        return None
+    dataset = GroundedScanDataset(
+        os.path.join(data_dir, "dataset.txt"), data_dir, k=0, split="dev",
+        input_vocabulary_file="training_input_vocab.txt",
+        target_vocabulary_file="training_target_vocab.txt",
+        generate_vocabulary=False)
+    dataset.read_dataset(max_examples=MAX_EXAMPLES)
+    _log("bench: {} dev examples from {}".format(dataset.num_examples,
+                                                 data_dir))
+
+    config = ModelConfig(
+        input_vocabulary_size=dataset.input_vocabulary_size,
+        target_vocabulary_size=dataset.target_vocabulary_size,
+        num_cnn_channels=dataset.image_channels, embedding_dimension=25,
+        encoder_hidden_size=100, decoder_hidden_size=100, cnn_kernel_size=7,
+        cnn_hidden_num_channels=50, auxiliary_task=False)
+    template = create_train_state(jax.random.PRNGKey(0), config,
+                                  make_optimizer())
+    state, meta = ckpt.load_checkpoint(ckpt_path, template)
+    _log("bench: checkpoint {} (iteration {}, best dev EM {})".format(
+        ckpt_path, meta.get("iteration"), meta.get("best_exact_match")))
+
+    batches, target_lists = [], []
+    for batch, idx, _, _ in dataset.get_data_iterator(
+            batch_size=BATCH_SIZE, pad_to_full_batch=True,
+            with_representations=False):
+        batches.append((batch.input_ids, batch.input_lengths,
+                        batch.situations, batch.target_positions))
+        target_lists.append([dataset._target_ids[int(i)] for i in idx])
+        if len(batches) * BATCH_SIZE >= MAX_EXAMPLES:
+            break
+    return config, state.params, batches, target_lists
+
+
+def _synthetic_workload():
+    import jax
+
     from multimodal_seq2seq_gscan_tpu.models import (
         ModelConfig, init_model_params)
 
-    # Canonical compositional-splits model (SURVEY.md §6): 440k params,
-    # grid 15x15 with 16 channels, input vocab 21, target vocab 9.
-    grid, channels = 15, 16
+    grid, channels = 6, 16
     config = ModelConfig(
         input_vocabulary_size=21, target_vocabulary_size=9,
         num_cnn_channels=channels, embedding_dimension=25,
         encoder_hidden_size=100, decoder_hidden_size=100, cnn_kernel_size=7,
         cnn_hidden_num_channels=50, auxiliary_task=False)
     params = init_model_params(jax.random.PRNGKey(0), config)
-
-    max_decoding_steps = 120  # all_experiments.sh test setting
-    batch_size = 512
-    t_in = 16
     rng = np.random.RandomState(0)
-    input_lengths = rng.randint(5, t_in + 1, size=batch_size).astype(np.int32)
-    input_ids = np.zeros((batch_size, t_in), dtype=np.int32)
-    for i in range(batch_size):
+    t_in = 16
+    input_lengths = rng.randint(5, t_in + 1, size=BATCH_SIZE).astype(np.int32)
+    input_ids = np.zeros((BATCH_SIZE, t_in), dtype=np.int32)
+    for i in range(BATCH_SIZE):
         input_ids[i, 0] = 1
         input_ids[i, 1:input_lengths[i] - 1] = rng.randint(
             3, 21, size=input_lengths[i] - 2)
         input_ids[i, input_lengths[i] - 1] = 2
-    situations = (rng.rand(batch_size, grid, grid, channels) < 0.1).astype(
+    situations = (rng.rand(BATCH_SIZE, grid, grid, channels) < 0.1).astype(
         np.float32)
-    target_positions = np.zeros((batch_size,), dtype=np.int32)
+    target_positions = np.zeros((BATCH_SIZE,), dtype=np.int32)
+    batches = [(input_ids, input_lengths, situations, target_positions)] * 4
+    return config, params, batches, None
 
-    decoder = make_greedy_decoder(config, max_decoding_steps)
-    args = (params, input_ids, input_lengths, situations, target_positions)
 
-    # Warm-up / compile.
-    out = decoder(*args)
-    jax.block_until_ready(out.tokens)
+def _exact_match(config, outs, target_lists):
+    from multimodal_seq2seq_gscan_tpu.decode.greedy import (
+        strip_output_sequences)
 
-    n_iters = 8
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out = decoder(*args)
-    jax.block_until_ready(out.tokens)
-    elapsed = time.perf_counter() - start
-    examples_per_second = (n_iters * batch_size) / elapsed
+    matched = total = 0
+    for out, targets in zip(outs, target_lists):
+        sequences, _ = strip_output_sequences(out, config.target_eos_idx)
+        for seq, target in zip(sequences, targets):
+            total += 1
+            if seq == target[1:-1].tolist():
+                matched += 1
+    return 100.0 * matched / max(total, 1)
 
+
+def main():
+    from multimodal_seq2seq_gscan_tpu.decode.greedy import make_greedy_decoder
+
+    workload = _real_workload()
+    synthetic = workload is None
+    if synthetic:
+        _log("bench: trained artifacts missing — synthetic fallback")
+        workload = _synthetic_workload()
+    config, params, batches, target_lists = workload
+
+    early = make_greedy_decoder(config, MAX_DECODING_STEPS, early_exit=True)
+    fixed = make_greedy_decoder(config, MAX_DECODING_STEPS, early_exit=False)
+
+    early_rate, outs = _time_decoder(early, params, batches)
+    fixed_rate, _ = _time_decoder(fixed, params, batches)
+    _log("bench: early-exit {:.0f} ex/s, fixed-120 {:.0f} ex/s".format(
+        early_rate, fixed_rate))
+    if target_lists is not None:
+        _log("bench: dev exact match of decoded output: {:.2f}%".format(
+            _exact_match(config, outs, target_lists)))
+
+    metric = "greedy_decode_throughput"
+    if synthetic:
+        metric += "_synthetic"
     print(json.dumps({
-        "metric": "greedy_decode_throughput",
-        "value": round(examples_per_second, 2),
+        "metric": metric,
+        "value": round(early_rate, 2),
         "unit": "examples/s",
-        "vs_baseline": round(examples_per_second
-                             / BASELINE_EXAMPLES_PER_SECOND, 2),
+        "vs_baseline": round(early_rate / BASELINE_EXAMPLES_PER_SECOND, 2),
     }))
 
 

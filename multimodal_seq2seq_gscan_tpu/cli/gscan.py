@@ -110,6 +110,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "nonsensical one.")
 
     # Only relevant when --sample_vocabulary='sample'.
+    parser.add_argument("--max_augmented", type=int, default=100000,
+                        help="Max examples to add with --mode=augment_geca.")
     parser.add_argument("--seed", type=int, default=1,
                         help="Seed for the generation RNGs (the reference CLI "
                              "has no seed and generates nondeterministically; "
@@ -223,6 +225,24 @@ def main(flags=None):
                 logger.info("Equivalent examples in train and testset: "
                             "{}".format(grounded_scan.count_equivalent_examples(
                                 "train", split)))
+    elif flags["mode"] == "augment_geca":
+        # GECA-style recombination (reference all_experiments.sh:19-21 trains
+        # on externally-produced GECA data; this makes it self-contained).
+        import random as _random
+
+        from multimodal_seq2seq_gscan_tpu.gscan.geca import GecaAugmenter
+
+        assert os.path.exists(flags["load_dataset_from"]), (
+            "if mode=augment_geca, please specify data location in "
+            "--load_dataset_from")
+        grounded_scan = GroundedScan.load_dataset_from_file(
+            flags["load_dataset_from"], flags["output_directory"])
+        augmenter = GecaAugmenter(grounded_scan)
+        added = augmenter.augment(flags["max_augmented"],
+                                  _random.Random(flags.get("seed", 1)))
+        dataset_path = grounded_scan.save_dataset(flags["save_dataset_as"])
+        logger.info("Saved GECA-augmented dataset (+{} examples) to "
+                    "{}".format(added, dataset_path))
     elif flags["mode"] == "execute_commands":
         for file in flags["predicted_commands_files"].split(","):
             logger.info("Visualizing predictions from file: {}".format(file))
