@@ -1,11 +1,8 @@
-"""Unit tests for host-side scoring, the workbook shim, and the renderer."""
-
-import xml.dom.minidom
+"""Unit tests for host-side scoring and the renderer."""
 
 import numpy as np
 
 from multimodal_seq2seq_gscan_tpu.analysis.render import render_situation
-from multimodal_seq2seq_gscan_tpu.analysis.workbook import Workbook
 from multimodal_seq2seq_gscan_tpu.gscan.types import (
     INT_TO_DIR, Object, Position, PositionedObject, Situation)
 from multimodal_seq2seq_gscan_tpu.utils.metrics import sequence_accuracy
@@ -29,22 +26,6 @@ def test_sequence_accuracy_long_prediction_counts_against():
 
 def test_sequence_accuracy_empty():
     assert sequence_accuracy([], []) == 0.0
-
-
-def test_workbook_writes_valid_spreadsheetml(tmp_path):
-    wb = Workbook()
-    sheet = wb.add_sheet("stats & more")
-    sheet.write(0, 0, "label <x>")
-    sheet.write(0, 1, 3)
-    sheet.write(2, 5, 1.5)
-    sheet.write(1, 0, True)
-    path = str(tmp_path / "out.xls")
-    wb.save(path)
-    dom = xml.dom.minidom.parse(path)  # raises on malformed XML
-    cells = dom.getElementsByTagName("Cell")
-    assert len(cells) == 4
-    assert dom.getElementsByTagName("Worksheet")[0].getAttribute(
-        "ss:Name") == "stats & more"
 
 
 def test_render_situation_shapes_and_agent():
