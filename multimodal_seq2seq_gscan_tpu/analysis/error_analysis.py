@@ -145,7 +145,7 @@ def error_analysis(dataset, predictions_file: str, output_file: str,
                     distribution[True]))
                 outfile.write("    Num. not exact match: {}\n\n".format(
                     distribution[False]))
-                sheet.write(i + 1, 0, str(item_key))
+                sheet.write(i + 1, 0, item_key)
                 sheet.write(i + 1, 1, len(item_values["accuracy"]))
                 sheet.write(i + 1, 2, float(means[item_key]))
                 sheet.write(i + 1, 3, float(standard_deviations[item_key]))
