@@ -153,6 +153,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="If > 1, train data-parallel over this many "
                              "devices (mesh over the 'data' axis).")
+    parser.add_argument("--steps_per_execution", type=int, default=50,
+                        help="Optimizer steps fused into one device call "
+                             "(lax.scan over device-resident data; "
+                             "train/resident.py). 1 = per-step host-streamed "
+                             "batches. Rounded down to divide "
+                             "print_every/evaluate_every.")
     return parser
 
 

@@ -29,6 +29,98 @@ from multimodal_seq2seq_gscan_tpu.utils.logging import log_parameters
 logger = logging.getLogger(__name__)
 
 
+def _host_batch(training_set, idx):
+    """Assemble one Batch on the host from the packed dataset matrices
+    (used only for the rare non-chunk-aligned steps of the resident path)."""
+    from multimodal_seq2seq_gscan_tpu.core.batch import Batch
+    training_set._ensure_packed()
+    return Batch(
+        input_ids=training_set._input_matrix[idx],
+        input_lengths=training_set._input_lengths[idx],
+        situations=training_set._situation_stack[idx].astype(np.float32),
+        target_ids=training_set._target_matrix[idx],
+        target_lengths=training_set._target_lengths[idx],
+        agent_positions=training_set._agent_positions[idx],
+        target_positions=training_set._target_positions[idx])
+
+
+def _train_resident(state, training_set, config, optimizer, train_step,
+                    weight_target_loss, mesh, start_iteration,
+                    max_training_iterations, training_batch_size,
+                    steps_per_execution, print_every, evaluate_every,
+                    epoch_rng, profiler, log_metrics, run_evaluation):
+    """Device-resident scanned training (see train/resident.py).
+
+    The whole training split lives on device; each device call runs K
+    optimizer steps under one lax.scan, fed by [K, B] permutation-index
+    blocks. K is aligned so print/eval boundaries land on chunk ends;
+    misaligned prefixes (resume from an arbitrary iteration) and the final
+    sub-chunk tail run as plain single steps.
+    """
+    from multimodal_seq2seq_gscan_tpu.train.resident import (
+        build_resident_data, index_block_stream, make_train_chunk,
+        resolve_chunk_size)
+
+    k = resolve_chunk_size(steps_per_execution, print_every, evaluate_every)
+    chunk_fn = make_train_chunk(config, optimizer,
+                                weight_target_loss=weight_target_loss,
+                                mesh=mesh)
+    data = build_resident_data(training_set, mesh=mesh)
+    blocks = index_block_stream(training_set.num_examples,
+                                training_batch_size, k, epoch_rng)
+    rows = (row for block in blocks for row in block)
+    logger.info("Device-resident training: %d examples on device, "
+                "%d-step scanned chunks.", training_set.num_examples, k)
+
+    iteration = start_iteration
+    window_start = time.time()
+    window_steps = 0
+
+    def at_boundaries(it, state, metrics):
+        nonlocal window_start, window_steps
+        if it % print_every == 0:
+            elapsed = time.time() - window_start
+            steps_per_s = window_steps / max(elapsed, 1e-9)
+            window_start, window_steps = time.time(), 0
+            log_metrics(it, jax.device_get(metrics), steps_per_s)
+        if it % evaluate_every == 0:
+            run_evaluation(it, state)
+            window_start, window_steps = time.time(), 0
+
+    def single_steps(state, iteration, count):
+        nonlocal window_steps
+        for _ in range(count):
+            state, metrics = train_step(state, _host_batch(training_set,
+                                                           next(rows)))
+            window_steps += 1
+            at_boundaries(iteration, state, metrics)
+            iteration += 1
+        return state, iteration
+
+    # Align on the chunk grid (chunks cover (e-k, e] with e % k == 0).
+    misaligned = (iteration - 1) % k
+    if misaligned:
+        state, iteration = single_steps(
+            state, iteration,
+            min(k - misaligned, max_training_iterations - iteration + 1))
+
+    while iteration <= max_training_iterations:
+        if iteration + k - 1 > max_training_iterations:
+            state, iteration = single_steps(
+                state, iteration, max_training_iterations - iteration + 1)
+            break
+        profiler.maybe_start(iteration)
+        block = np.stack([next(rows) for _ in range(k)])
+        state, metrics = chunk_fn(state, data, block)
+        profiler.maybe_stop(iteration)
+        end_iteration = iteration + k - 1
+        window_steps += k
+        at_boundaries(end_iteration, state,
+                      jax.tree.map(lambda m: m[-1], metrics))
+        iteration = end_iteration + 1
+    return state
+
+
 def train(data_path: str, data_directory: str, generate_vocabularies: bool,
           input_vocab_path: str, target_vocab_path: str,
           embedding_dimension: int, num_encoder_layers: int,
@@ -45,7 +137,8 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
           auxiliary_task: bool, weight_target_loss: float, attention_type: str,
           k: int, max_training_examples=None, seed=42, mesh=None,
           max_testing_examples=None, evaluation_batch_size: int = 256,
-          profile_dir: str = "", prefetch_depth: int = 3, **kwargs):
+          profile_dir: str = "", prefetch_depth: int = 3,
+          steps_per_execution: int = 50, **kwargs):
     logger.info("Loading Training set...")
     training_set = GroundedScanDataset(
         data_path, data_directory, split="train",
@@ -142,6 +235,55 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
     window_start = time.time()
     window_steps = 0
 
+    def log_metrics(iteration, metrics, steps_per_s):
+        logger.info(
+            "Iteration %08d, loss %8.4f, accuracy %5.2f, exact match "
+            "%5.2f, learning_rate %.5f, aux. accuracy target pos %5.2f,"
+            " steps/s %6.2f"
+            % (iteration, metrics["loss"], metrics["accuracy"],
+               metrics["exact_match"], lr_fn(iteration - 1),
+               metrics["aux_accuracy"], steps_per_s))
+
+    def run_evaluation(iteration, state):
+        nonlocal best_accuracy, best_exact_match, best_iteration
+        logger.info("Evaluating..")
+        accuracy, exact_match, target_accuracy = evaluate(
+            dev_set, state.params, config,
+            max_decoding_steps=max_decoding_steps,
+            batch_size=evaluation_batch_size,
+            max_examples_to_evaluate=max_testing_examples, mesh=mesh)
+        logger.info(
+            "  Evaluation Accuracy: %5.2f Exact Match: %5.2f "
+            " Target Accuracy: %5.2f"
+            % (accuracy, exact_match, target_accuracy))
+        is_best = exact_match > best_exact_match
+        if is_best:
+            best_accuracy = accuracy
+            best_exact_match = exact_match
+            best_iteration = iteration
+        # Always persist the running checkpoint (the reference only wrote on
+        # improvement, train.py:147-149, leaving no resume point before the
+        # first improvement); the best copy is still gated on dev exact match.
+        ckpt.save_checkpoint(
+            output_directory, state, is_best=is_best,
+            best_iteration=best_iteration, best_accuracy=best_accuracy,
+            best_exact_match=best_exact_match)
+
+    if steps_per_execution > 1:
+        state = _train_resident(
+            state, training_set, config, optimizer, train_step,
+            weight_target_loss=weight_target_loss, mesh=mesh,
+            start_iteration=start_iteration,
+            max_training_iterations=max_training_iterations,
+            training_batch_size=training_batch_size,
+            steps_per_execution=steps_per_execution,
+            print_every=print_every, evaluate_every=evaluate_every,
+            epoch_rng=epoch_rng, profiler=profiler,
+            log_metrics=log_metrics, run_evaluation=run_evaluation)
+        profiler.close()
+        logger.info("Finished training.")
+        return state, config
+
     def epoch_stream():
         """Endless shuffled batch stream (epoch boundaries are seamless so
         the prefetcher never drains while the next epoch reshuffles)."""
@@ -161,51 +303,20 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
                                 sharding=batch_sharding)
     try:
         for batch, _, _, _ in stream:
-            is_best = False
             profiler.maybe_start(training_iteration)
             state, metrics = train_step(state, batch)
             profiler.maybe_stop(training_iteration)
             window_steps += 1
 
             if training_iteration % print_every == 0:
-                metrics = jax.device_get(metrics)
                 elapsed = time.time() - window_start
                 steps_per_s = window_steps / max(elapsed, 1e-9)
                 window_start, window_steps = time.time(), 0
-                logger.info(
-                    "Iteration %08d, loss %8.4f, accuracy %5.2f, exact match "
-                    "%5.2f, learning_rate %.5f, aux. accuracy target pos %5.2f,"
-                    " steps/s %6.2f"
-                    % (training_iteration, metrics["loss"],
-                       metrics["accuracy"], metrics["exact_match"],
-                       lr_fn(training_iteration - 1),
-                       metrics["aux_accuracy"], steps_per_s))
+                log_metrics(training_iteration, jax.device_get(metrics),
+                            steps_per_s)
 
             if training_iteration % evaluate_every == 0:
-                logger.info("Evaluating..")
-                accuracy, exact_match, target_accuracy = evaluate(
-                    dev_set, state.params, config,
-                    max_decoding_steps=max_decoding_steps,
-                    batch_size=evaluation_batch_size,
-                    max_examples_to_evaluate=max_testing_examples, mesh=mesh)
-                logger.info(
-                    "  Evaluation Accuracy: %5.2f Exact Match: %5.2f "
-                    " Target Accuracy: %5.2f"
-                    % (accuracy, exact_match, target_accuracy))
-                if exact_match > best_exact_match:
-                    is_best = True
-                    best_accuracy = accuracy
-                    best_exact_match = exact_match
-                    best_iteration = training_iteration
-                # Always persist the running checkpoint (the reference only
-                # wrote on improvement, train.py:147-149, leaving no resume
-                # point before the first improvement); the best copy is still
-                # gated on dev exact match.
-                ckpt.save_checkpoint(
-                    output_directory, state, is_best=is_best,
-                    best_iteration=best_iteration,
-                    best_accuracy=best_accuracy,
-                    best_exact_match=best_exact_match)
+                run_evaluation(training_iteration, state)
                 window_start, window_steps = time.time(), 0
 
             training_iteration += 1

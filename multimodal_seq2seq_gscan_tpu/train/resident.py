@@ -1,0 +1,156 @@
+"""Device-resident training data + multi-step scanned training chunks.
+
+TPU-first redesign of the training inner loop.  The reference assembles one
+host batch per optimizer step (reference seq2seq/train.py:88-153); even with
+a vectorized host pipeline and prefetch the loop stays host/dispatch-bound
+(~9 ms/step against a ~1 ms device step, and every step pays one dispatch
+round-trip — expensive when the chip sits behind a network tunnel).  Instead:
+
+* the ENTIRE vectorized training split lives in device memory, in compact
+  dtypes (uint8 one-hot grids; ~0.4 GB for 533k examples) — HBM is the right
+  home for data the MXU re-reads every epoch;
+* each device call runs ``K = steps_per_execution`` optimizer steps under one
+  ``lax.scan``, gathering batches ON DEVICE from a ``[K, B]`` int32 block of
+  permutation indices — the only per-call host-to-device transfer (~40 KB);
+* the host's remaining job is bookkeeping: stream permutation rows (epoch
+  reshuffles included, every example exactly once per epoch) and log the
+  returned ``[K]``-shaped metrics.
+
+Multi-chip: the resident arrays are replicated across the mesh; the index
+block is sharded on its batch axis, so each device gathers exactly its batch
+shard from its local replica and XLA inserts the usual gradient all-reduce.
+"""
+
+import math
+from typing import Iterator, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multimodal_seq2seq_gscan_tpu.core.batch import Batch
+from multimodal_seq2seq_gscan_tpu.models.config import ModelConfig
+from multimodal_seq2seq_gscan_tpu.train.state import TrainState
+from multimodal_seq2seq_gscan_tpu.train.step import train_step_body
+
+
+class ResidentData(NamedTuple):
+    """The whole training split as flat device arrays (compact dtypes)."""
+
+    input_ids: jax.Array        # [N, T_in]  int32
+    input_lengths: jax.Array    # [N]        int32
+    situations: jax.Array       # [N, H, W, C] uint8 (cast to f32 per batch)
+    target_ids: jax.Array       # [N, T_out] int32
+    target_lengths: jax.Array   # [N]        int32
+    agent_positions: jax.Array  # [N]        int32
+    target_positions: jax.Array  # [N]       int32
+
+    @property
+    def num_examples(self) -> int:
+        return self.input_ids.shape[0]
+
+
+def build_resident_data(training_set, mesh=None) -> ResidentData:
+    """Pack a ``GroundedScanDataset`` into device-resident arrays.
+
+    With ``mesh`` the arrays are replicated over it (each device holds the
+    full split; batches are then sharded by index-block sharding).
+    """
+    training_set._ensure_packed()
+    situations = training_set._situation_stack
+    if situations.dtype != np.uint8:
+        situations = situations.astype(np.uint8)
+    host = ResidentData(
+        input_ids=np.ascontiguousarray(training_set._input_matrix),
+        input_lengths=training_set._input_lengths,
+        situations=np.ascontiguousarray(situations),
+        target_ids=np.ascontiguousarray(training_set._target_matrix),
+        target_lengths=training_set._target_lengths,
+        agent_positions=training_set._agent_positions,
+        target_positions=training_set._target_positions)
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P())
+    return ResidentData(*(jax.device_put(a, sharding) for a in host))
+
+
+def gather_batch(data: ResidentData, idx: jax.Array) -> Batch:
+    """On-device batch assembly: one gather per column, uint8 grid -> f32."""
+    return Batch(
+        input_ids=data.input_ids[idx],
+        input_lengths=data.input_lengths[idx],
+        situations=data.situations[idx].astype(jnp.float32),
+        target_ids=data.target_ids[idx],
+        target_lengths=data.target_lengths[idx],
+        agent_positions=data.agent_positions[idx],
+        target_positions=data.target_positions[idx])
+
+
+def make_train_chunk(config: ModelConfig,
+                     optimizer: optax.GradientTransformation,
+                     weight_target_loss: float = 0.3, mesh=None,
+                     donate: bool = True):
+    """Jit ``chunk(state, data, idx_block)``: ``K`` scanned optimizer steps.
+
+    ``idx_block`` is ``[K, B] int32``; the returned metrics dict has ``[K]``
+    leaves (per-step values, last entry = most recent step).
+    """
+
+    def chunk(state: TrainState, data: ResidentData, idx_block: jax.Array):
+        def body(carry, idx):
+            new_state, metrics = train_step_body(
+                carry, gather_batch(data, idx), config, optimizer,
+                weight_target_loss)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, idx_block)
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        replicated = NamedSharding(mesh, P())
+        data_shardings = ResidentData(
+            *([replicated] * len(ResidentData._fields)))
+        idx_sharding = NamedSharding(mesh, P(None, "data"))
+        return jax.jit(chunk,
+                       in_shardings=(replicated, data_shardings, idx_sharding),
+                       out_shardings=(replicated, replicated),
+                       donate_argnums=donate_argnums)
+    return jax.jit(chunk, donate_argnums=donate_argnums)
+
+
+def index_block_stream(num_examples: int, batch_size: int,
+                       steps_per_block: int,
+                       rng: Optional[np.random.Generator] = None
+                       ) -> Iterator[np.ndarray]:
+    """Endless ``[K, B] int32`` permutation blocks.
+
+    Epochs are seamless: each epoch is a fresh permutation of all examples,
+    and a batch that would straddle an epoch boundary is filled from the next
+    permutation — every batch is full and every example appears exactly once
+    per epoch (the streaming loop's pad-final-batch semantics, without the
+    padded rows).
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    need = steps_per_block * batch_size
+    buffer = np.empty((0,), dtype=np.int64)
+    while True:
+        while buffer.size < need:
+            buffer = np.concatenate([buffer, rng.permutation(num_examples)])
+        block, buffer = buffer[:need], buffer[need:]
+        yield np.ascontiguousarray(
+            block.reshape(steps_per_block, batch_size).astype(np.int32))
+
+
+def resolve_chunk_size(steps_per_execution: int, print_every: int,
+                       evaluate_every: int) -> int:
+    """Largest chunk size <= steps_per_execution that divides both logging
+    periods, so print/eval boundaries always land between device calls."""
+    period = math.gcd(int(print_every), int(evaluate_every))
+    k = max(1, min(int(steps_per_execution), period))
+    while period % k:
+        k -= 1
+    return k

@@ -34,6 +34,31 @@ def loss_fn(params, config: ModelConfig, batch: Batch, rng,
     return loss, (log_probs, aux_scores)
 
 
+def train_step_body(state: TrainState, batch: Batch, config: ModelConfig,
+                    optimizer: optax.GradientTransformation,
+                    weight_target_loss: float):
+    """One optimizer step (shared by the per-step jit and the scanned chunk)."""
+    step_rng = jax.random.fold_in(state.rng, state.step)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (loss, (log_probs, aux_scores)), grads = grad_fn(
+        state.params, config, batch, step_rng, weight_target_loss)
+    updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    accuracy, exact_match = get_metrics(config, log_probs, batch.target_ids)
+    if config.auxiliary_task:
+        aux_accuracy = get_auxiliary_accuracy(
+            aux_scores, batch.target_positions,
+            valid=batch.target_lengths > 0)
+    else:
+        aux_accuracy = jnp.zeros(())
+    metrics = {"loss": loss, "accuracy": accuracy,
+               "exact_match": exact_match, "aux_accuracy": aux_accuracy}
+    new_state = TrainState(step=state.step + 1, params=new_params,
+                           opt_state=new_opt_state, rng=state.rng)
+    return new_state, metrics
+
+
 def make_train_step(config: ModelConfig, optimizer: optax.GradientTransformation,
                     weight_target_loss: float = 0.3, mesh=None,
                     donate: bool = True):
@@ -44,25 +69,8 @@ def make_train_step(config: ModelConfig, optimizer: optax.GradientTransformation
     """
 
     def train_step(state: TrainState, batch: Batch):
-        step_rng = jax.random.fold_in(state.rng, state.step)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (log_probs, aux_scores)), grads = grad_fn(
-            state.params, config, batch, step_rng, weight_target_loss)
-        updates, new_opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        accuracy, exact_match = get_metrics(config, log_probs, batch.target_ids)
-        if config.auxiliary_task:
-            aux_accuracy = get_auxiliary_accuracy(
-                aux_scores, batch.target_positions,
-                valid=batch.target_lengths > 0)
-        else:
-            aux_accuracy = jnp.zeros(())
-        metrics = {"loss": loss, "accuracy": accuracy,
-                   "exact_match": exact_match, "aux_accuracy": aux_accuracy}
-        new_state = TrainState(step=state.step + 1, params=new_params,
-                               opt_state=new_opt_state, rng=state.rng)
-        return new_state, metrics
+        return train_step_body(state, batch, config, optimizer,
+                               weight_target_loss)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

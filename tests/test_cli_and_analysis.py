@@ -136,3 +136,27 @@ def test_read_gscan_standalone(generated_dir):
     assert set(example.keys()) == {"input", "target", "situation"}
     situation = np.array(example["situation"])
     assert situation.shape[0] == situation.shape[1] == 6
+
+
+def test_resume_resident_training_alignment_and_tail(trained_dir):
+    """Resume from iteration 40 with 10-step chunks up to 75: exercises the
+    misaligned single-step prologue (40), the chunk grid (41-70), and the
+    sub-chunk tail (71-75) of the device-resident path."""
+    seq2seq_cli.main(_seq2seq_flags(
+        mode="train", data_directory=trained_dir,
+        output_directory=trained_dir, generate_vocabularies=False,
+        input_vocab_path="input_vocab.txt",
+        target_vocab_path="target_vocab.txt", training_batch_size=32,
+        max_training_iterations=75, print_every=10, evaluate_every=20,
+        resume_from_file=os.path.join(trained_dir, "checkpoint.msgpack"),
+        max_decoding_steps=25, embedding_dimension=12, encoder_hidden_size=16,
+        decoder_hidden_size=16, cnn_kernel_size=3, cnn_hidden_num_channels=8,
+        max_testing_examples=50, test_batch_size=32, seed=1,
+        steps_per_execution=10))
+    meta_path = os.path.join(trained_dir, "checkpoint.msgpack.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    # Resume re-runs the checkpointed iteration (reference semantics), so by
+    # the last evaluate_every boundary (60) the optimizer has applied
+    # 40 + (40..60) = 61 steps.
+    assert meta["iteration"] == 61
