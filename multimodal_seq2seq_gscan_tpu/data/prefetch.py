@@ -6,6 +6,14 @@ step (device step ~1 ms vs ~9 ms host work — documentation/PERFORMANCE.md).
 ``prefetch_to_device`` runs the host-side iterator in a daemon thread that
 stays ``depth`` items ahead, calling ``jax.device_put`` so the transfer is
 in flight (or complete) before the consumer asks for the batch.
+
+CAUTION (measured 2026-08-16): on the tunneled single-TPU environment, the
+per-step ``device_put`` stream leaks host RAM (~0.6 MB/batch never released
+by the platform client; a 400k-iteration run OOM-killed at 130 GB around
+iteration 180k). The device-resident scanned trainer (train/resident.py,
+``--steps_per_execution`` > 1, the default) transfers ~40 KB of indices per
+50 steps and does not exhibit the leak; this streaming path remains for
+comparison and for hosts where the dataset cannot live in device memory.
 """
 
 import queue

@@ -15,10 +15,14 @@ L=documentation/training_logs
 SPLITS=test,dev,visual,situational_1,situational_2,contextual,adverb_1,adverb_2,visual_easier
 mkdir -p "$D" "$L" runs
 
+if [ ! -f "$SRC/dataset.txt" ]; then
+  echo "GECA source dataset $SRC/dataset.txt missing" >&2
+  exit 1
+fi
 if [ ! -f "$D/dataset.txt" ]; then
   $G --mode=augment_geca --load_dataset_from="$SRC/dataset.txt" \
     --output_directory="$D" --max_augmented=100000 --seed=66 \
-    > "$L/geca_augment.txt" 2>&1
+    >> "$L/geca_augment.txt" 2>&1
 fi
 
 if [ ! -f runs/r2_geca_seed66/.done ]; then

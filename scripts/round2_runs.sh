@@ -18,11 +18,16 @@ mkdir -p "$L" runs
 train () {  # name iters seed extra...
   local name=$1 iters=$2 seed=$3; shift 3
   if [ -f "runs/$name/.done" ]; then echo "skip $name"; return; fi
+  local resume=()
+  if [ -f "runs/$name/checkpoint.msgpack" ]; then
+    resume=("--resume_from_file=runs/$name/checkpoint.msgpack")
+    echo "resuming $name from its checkpoint"
+  fi
   $S --mode=train --data_directory=$D --output_directory="runs/$name" \
     --conditional_attention --no_auxiliary_task --training_batch_size=200 \
     --max_training_iterations="$iters" --seed="$seed" --generate_vocabularies \
     --evaluate_every=4000 --print_every=500 --max_testing_examples=2000 \
-    --max_decoding_steps=120 "$@" > "$L/$name.txt" 2>&1
+    --max_decoding_steps=120 "${resume[@]}" "$@" >> "$L/$name.txt" 2>&1
   touch "runs/$name/.done"
 }
 
