@@ -71,8 +71,14 @@ def _real_workload():
             if os.path.isfile(os.path.join(candidate, "dataset.txt")):
                 data_dir = candidate
                 break
-    ckpt_path = os.environ.get("BENCH_CHECKPOINT",
-                               "runs/adverb_r10_seed66/model_best.msgpack")
+    ckpt_path = os.environ.get("BENCH_CHECKPOINT", "")
+    if not ckpt_path:
+        for candidate in ("data/bench_fixture/model_best.msgpack",
+                          "runs/r2_adverb_seed66/model_best.msgpack",
+                          "runs/adverb_r10_seed66/model_best.msgpack"):
+            if os.path.isfile(candidate):
+                ckpt_path = candidate
+                break
     if not data_dir or not os.path.isfile(ckpt_path):
         return None
     dataset = GroundedScanDataset(

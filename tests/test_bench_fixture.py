@@ -1,0 +1,62 @@
+"""The committed bench fixture (data/bench_fixture) must be self-consistent:
+its dev examples load through the real data pipeline, its vocab files pair
+with its checkpoint, and the trained model actually decodes the subset well
+(the round-2 model's dev exact match is ~97%, so a sharp drop means the
+fixture's vocab/checkpoint went out of sync)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "..", "data",
+                       "bench_fixture")
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(os.path.join(FIXTURE, "dataset.txt")),
+    reason="bench fixture not built")
+def test_bench_fixture_checkpoint_decodes_dev_subset():
+    from multimodal_seq2seq_gscan_tpu.data.dataset import GroundedScanDataset
+    from multimodal_seq2seq_gscan_tpu.decode.greedy import (
+        make_greedy_decoder, strip_output_sequences)
+    from multimodal_seq2seq_gscan_tpu.models import ModelConfig
+    from multimodal_seq2seq_gscan_tpu.train import checkpoint as ckpt
+    from multimodal_seq2seq_gscan_tpu.train.state import (
+        create_train_state, make_optimizer)
+
+    dataset = GroundedScanDataset(
+        os.path.join(FIXTURE, "dataset.txt"), FIXTURE, k=0, split="dev",
+        input_vocabulary_file="training_input_vocab.txt",
+        target_vocabulary_file="training_target_vocab.txt",
+        generate_vocabulary=False)
+    dataset.read_dataset(max_examples=256)
+    assert dataset.num_examples == 256
+
+    config = ModelConfig(
+        input_vocabulary_size=dataset.input_vocabulary_size,
+        target_vocabulary_size=dataset.target_vocabulary_size,
+        num_cnn_channels=dataset.image_channels, embedding_dimension=25,
+        encoder_hidden_size=100, decoder_hidden_size=100, cnn_kernel_size=7,
+        cnn_hidden_num_channels=50, auxiliary_task=False)
+    template = create_train_state(jax.random.PRNGKey(0), config,
+                                  make_optimizer())
+    state, meta = ckpt.load_checkpoint(
+        os.path.join(FIXTURE, "model_best.msgpack"), template)
+    assert meta.get("best_exact_match", 0) > 90
+
+    decoder = make_greedy_decoder(config, max_decoding_steps=120,
+                                  early_exit=True)
+    batch, idx, _, _ = next(dataset.get_data_iterator(
+        batch_size=256, pad_to_full_batch=True, with_representations=False))
+    out = decoder(state.params, batch.input_ids, batch.input_lengths,
+                  batch.situations, batch.target_positions)
+    sequences, _ = strip_output_sequences(out, config.target_eos_idx)
+    matched = sum(
+        seq == dataset._target_ids[int(i)][1:-1].tolist()
+        for seq, i in zip(sequences, idx))
+    exact_match = 100.0 * matched / len(idx)
+    assert exact_match > 85.0, (
+        "fixture checkpoint only gets {:.1f}% EM on its own dev subset — "
+        "vocab/checkpoint out of sync?".format(exact_match))
