@@ -39,7 +39,8 @@ if [ ! -f runs/r2_geca_seed66/.tested ]; then
     --conditional_attention --no_auxiliary_task \
     --resume_from_file=runs/r2_geca_seed66/model_best.msgpack \
     --splits=$SPLITS --max_decoding_steps=120 --test_batch_size=512 \
-    > "$L/r2_geca_seed66_test.txt" 2>&1
+    --max_testing_examples=2000 \
+    >> "$L/r2_geca_seed66_test.txt" 2>&1
   touch runs/r2_geca_seed66/.tested
 fi
 echo "GECA RUN COMPLETE"

@@ -37,8 +37,9 @@ run_test () {  # name extra...
   $S --mode=test --data_directory=$D --output_directory="runs/$name" \
     --conditional_attention --no_auxiliary_task \
     --resume_from_file="runs/$name/model_best.msgpack" \
-    --splits=$SPLITS --max_decoding_steps=120 --test_batch_size=512 "$@" \
-    > "$L/${name}_test.txt" 2>&1
+    --splits=$SPLITS --max_decoding_steps=120 --test_batch_size=512 \
+    --max_testing_examples=2000 "$@" \
+    >> "$L/${name}_test.txt" 2>&1
   touch "runs/$name/.tested"
 }
 
