@@ -32,8 +32,8 @@ import numpy as np
 
 BASELINE_EXAMPLES_PER_SECOND = 21.35  # 2001 ex / 93.74 s, batch-1 reference
 MAX_DECODING_STEPS = 120              # all_experiments.sh test setting
-BATCH_SIZE = 512
-MAX_EXAMPLES = 4096
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", 512))
+MAX_EXAMPLES = int(os.environ.get("BENCH_MAX_EXAMPLES", 4096))
 
 
 def _log(msg):
