@@ -40,12 +40,14 @@ def _log(msg):
     print(msg, file=sys.stderr)
 
 
-def _time_decoder(decoder, params, batches, repeats=3):
+def _time_decoder(decoder, params, batches, counts, repeats=3):
+    """counts[i] = REAL examples in batch i (excludes zero-padded rows the
+    final batch may carry), so the reported examples/s is not inflated."""
     import jax
 
     outs = [decoder(params, *b) for b in batches]  # compile + warm-up
     jax.block_until_ready(outs[-1].tokens)
-    n_examples = repeats * sum(b[0].shape[0] for b in batches)
+    n_examples = repeats * sum(counts)
     start = time.perf_counter()
     for _ in range(repeats):
         for b in batches:
@@ -102,16 +104,17 @@ def _real_workload():
     _log("bench: checkpoint {} (iteration {}, best dev EM {})".format(
         ckpt_path, meta.get("iteration"), meta.get("best_exact_match")))
 
-    batches, target_lists = [], []
+    batches, counts, target_lists = [], [], []
     for batch, idx, _, _ in dataset.get_data_iterator(
             batch_size=BATCH_SIZE, pad_to_full_batch=True,
             with_representations=False):
         batches.append((batch.input_ids, batch.input_lengths,
                         batch.situations, batch.target_positions))
+        counts.append(len(idx))  # real rows; the final batch may be padded
         target_lists.append([dataset._target_ids[int(i)] for i in idx])
-        if len(batches) * BATCH_SIZE >= MAX_EXAMPLES:
+        if sum(counts) >= MAX_EXAMPLES:
             break
-    return config, state.params, batches, target_lists
+    return config, state.params, batches, counts, target_lists
 
 
 def _synthetic_workload():
@@ -140,7 +143,7 @@ def _synthetic_workload():
         np.float32)
     target_positions = np.zeros((BATCH_SIZE,), dtype=np.int32)
     batches = [(input_ids, input_lengths, situations, target_positions)] * 4
-    return config, params, batches, None
+    return config, params, batches, [BATCH_SIZE] * 4, None
 
 
 def _exact_match(config, outs, target_lists):
@@ -160,18 +163,24 @@ def _exact_match(config, outs, target_lists):
 def main():
     from multimodal_seq2seq_gscan_tpu.decode.greedy import make_greedy_decoder
 
-    workload = _real_workload()
+    try:
+        workload = _real_workload()
+        if workload is None:
+            _log("bench: trained artifacts missing — synthetic fallback")
+    except Exception as exc:  # e.g. checkpoint/vocab artifacts out of sync
+        _log("bench: failed to load trained artifacts ({}: {}) — synthetic "
+             "fallback".format(type(exc).__name__, exc))
+        workload = None
     synthetic = workload is None
     if synthetic:
-        _log("bench: trained artifacts missing — synthetic fallback")
         workload = _synthetic_workload()
-    config, params, batches, target_lists = workload
+    config, params, batches, counts, target_lists = workload
 
     early = make_greedy_decoder(config, MAX_DECODING_STEPS, early_exit=True)
     fixed = make_greedy_decoder(config, MAX_DECODING_STEPS, early_exit=False)
 
-    early_rate, outs = _time_decoder(early, params, batches)
-    fixed_rate, _ = _time_decoder(fixed, params, batches)
+    early_rate, outs = _time_decoder(early, params, batches, counts)
+    fixed_rate, _ = _time_decoder(fixed, params, batches, counts)
     _log("bench: early-exit {:.0f} ex/s, fixed-120 {:.0f} ex/s".format(
         early_rate, fixed_rate))
     if target_lists is not None:
