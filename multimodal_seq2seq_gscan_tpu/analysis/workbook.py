@@ -42,7 +42,13 @@ def _short_unicode(text: str) -> bytes:
 
 
 def _long_unicode(text: str) -> bytes:
-    """BIFF8 XLUnicodeString (2-byte length)."""
+    """BIFF8 XLUnicodeString (2-byte length).
+
+    Clamped to the Label record's 255-character cap ([MS-XLS] 2.4.148) —
+    longer strings would need CONTINUE records, which the analysis outputs
+    never require.
+    """
+    text = text[:255]
     if all(ord(ch) < 256 for ch in text):
         return struct.pack("<HB", len(text), 0) + text.encode("latin-1")
     return struct.pack("<HB", len(text), 1) + text.encode("utf-16-le")

@@ -23,6 +23,7 @@ itself generates are kept, so derivation strings stay well-formed.
 """
 
 import itertools
+import json
 import logging
 from collections import defaultdict
 from typing import Dict, Iterator, List, Optional, Set, Tuple
@@ -32,6 +33,13 @@ from multimodal_seq2seq_gscan_tpu.gscan.types import Situation
 logger = logging.getLogger(__name__)
 
 _GAP = "<GAP>"
+
+
+def _situation_key(representation: dict) -> str:
+    """Canonical string for a serialized Situation (key-order independent, so
+    representations parsed from dataset.txt and freshly built ones compare
+    equal)."""
+    return json.dumps(representation, sort_keys=True)
 
 
 def decompose(tokens: Tuple[str, ...], max_fragment_len: int = 3
@@ -156,7 +164,11 @@ class GecaAugmenter:
         train = dataset._data_pairs["train"]
         commands = self._train_commands()
         swaps = interchangeable_fragments(commands, self.max_fragment_len)
-        seen = {(example["command"], repr(example["situation"]))
+        # Keyed on the RESOLVED situation each stored example carries (whose
+        # target_object is the command's own referent), so a proposal that
+        # exactly reproduces an existing or previously-added train example is
+        # filtered out.
+        seen = {(example["command"], _situation_key(example["situation"]))
                 for example in train}
 
         order = list(range(len(train)))
@@ -172,8 +184,8 @@ class GecaAugmenter:
                                                    self.max_fragment_len):
                 if added >= max_new:
                     break
+                gap = environment.index(_GAP)
                 for replacement in sorted(swaps.get(fragment, ())):
-                    gap = environment.index(_GAP)
                     candidate = (environment[:gap] + replacement
                                  + environment[gap + 1:])
                     if candidate == command:
@@ -181,13 +193,14 @@ class GecaAugmenter:
                     derivation = self.command_to_derivation.get(candidate)
                     if derivation is None:
                         continue
-                    key = (",".join(candidate), repr(example["situation"]))
-                    if key in seen:
-                        continue
                     resolved = self._resolve_target(derivation, situation)
                     if resolved is None:
                         continue
                     new_situation, predicate, verb, adverb = resolved
+                    key = (",".join(candidate),
+                           _situation_key(new_situation.to_representation()))
+                    if key in seen:
+                        continue
                     try:
                         target_commands, _, _ = dataset.demonstrate_command(
                             derivation, initial_situation=new_situation)

@@ -63,6 +63,20 @@ def test_augment_adds_oracle_correct_novel_examples(adverb_dataset):
         dataset.parse_example(example)
 
 
+def test_augment_never_duplicates_existing_examples(adverb_dataset):
+    """The dedup key must be the RESOLVED situation (what fill_example
+    stores), not the donor's: a second augment pass re-proposes the first
+    pass's recombinations and must filter every one of them."""
+    from multimodal_seq2seq_gscan_tpu.gscan.geca import _situation_key
+
+    dataset, _ = adverb_dataset
+    GecaAugmenter(dataset).augment(max_new=10, rng=random.Random(7))
+    GecaAugmenter(dataset).augment(max_new=10, rng=random.Random(7))
+    keys = [(e["command"], _situation_key(e["situation"]))
+            for e in dataset._data_pairs["train"]]
+    assert len(keys) == len(set(keys))
+
+
 def test_augmented_dataset_saves_loads_and_trains(adverb_dataset, tmp_path):
     import jax
 
