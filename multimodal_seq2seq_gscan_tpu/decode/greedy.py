@@ -12,6 +12,7 @@ EOS semantics mirror the reference exactly:
 - attention-weight stacks align 1:1 with the emitted (pre-strip) tokens.
 """
 
+from functools import lru_cache
 from typing import List, NamedTuple, Tuple
 
 import jax
@@ -45,9 +46,15 @@ class GreedyDecodeOutput(NamedTuple):
     position_accuracy: jax.Array
 
 
+@lru_cache(maxsize=8)
 def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
                         early_exit: bool = True, mesh=None):
     """Build a jitted batched greedy decoder.
+
+    Memoized on (config, max_decoding_steps, early_exit, mesh) — all hashable
+    — so repeated evaluations during training (predict() is called every
+    ``evaluate_every`` iterations) reuse one jitted program instead of
+    retracing/recompiling each time.
 
     With ``early_exit`` (default) the time loop is a ``lax.while_loop`` that
     stops as soon as every example in the batch has emitted EOS — on real data

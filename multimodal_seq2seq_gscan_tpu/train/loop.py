@@ -29,21 +29,6 @@ from multimodal_seq2seq_gscan_tpu.utils.logging import log_parameters
 logger = logging.getLogger(__name__)
 
 
-def _host_batch(training_set, idx):
-    """Assemble one Batch on the host from the packed dataset matrices
-    (used only for the rare non-chunk-aligned steps of the resident path)."""
-    from multimodal_seq2seq_gscan_tpu.core.batch import Batch
-    training_set._ensure_packed()
-    return Batch(
-        input_ids=training_set._input_matrix[idx],
-        input_lengths=training_set._input_lengths[idx],
-        situations=training_set._situation_stack[idx].astype(np.float32),
-        target_ids=training_set._target_matrix[idx],
-        target_lengths=training_set._target_lengths[idx],
-        agent_positions=training_set._agent_positions[idx],
-        target_positions=training_set._target_positions[idx])
-
-
 def _train_resident(state, training_set, config, optimizer, train_step,
                     weight_target_loss, mesh, start_iteration,
                     max_training_iterations, training_batch_size,
@@ -58,17 +43,29 @@ def _train_resident(state, training_set, config, optimizer, train_step,
     sub-chunk tail run as plain single steps.
     """
     from multimodal_seq2seq_gscan_tpu.train.resident import (
-        build_resident_data, index_block_stream, make_train_chunk,
-        resolve_chunk_size)
+        build_resident_data, gather_batch, host_resident_data,
+        index_block_stream, make_train_chunk, resolve_chunk_size)
 
     k = resolve_chunk_size(steps_per_execution, print_every, evaluate_every)
     chunk_fn = make_train_chunk(config, optimizer,
                                 weight_target_loss=weight_target_loss,
                                 mesh=mesh)
+    host_data = host_resident_data(training_set)
     data = build_resident_data(training_set, mesh=mesh)
     blocks = index_block_stream(training_set.num_examples,
                                 training_batch_size, k, epoch_rng)
-    rows = (row for block in blocks for row in block)
+    pending = []  # rows from a partially-consumed block (prefix/tail steps)
+
+    def take_row():
+        if not pending:
+            pending.extend(next(blocks))
+        return pending.pop(0)
+
+    def take_block():
+        if not pending:
+            return next(blocks)  # common case: stream blocks straight through
+        return np.stack([take_row() for _ in range(k)])
+
     logger.info("Device-resident training: %d examples on device, "
                 "%d-step scanned chunks.", training_set.num_examples, k)
 
@@ -90,8 +87,8 @@ def _train_resident(state, training_set, config, optimizer, train_step,
     def single_steps(state, iteration, count):
         nonlocal window_steps
         for _ in range(count):
-            state, metrics = train_step(state, _host_batch(training_set,
-                                                           next(rows)))
+            state, metrics = train_step(state, gather_batch(host_data,
+                                                            take_row()))
             window_steps += 1
             at_boundaries(iteration, state, metrics)
             iteration += 1
@@ -110,7 +107,7 @@ def _train_resident(state, training_set, config, optimizer, train_step,
                 state, iteration, max_training_iterations - iteration + 1)
             break
         profiler.maybe_start(iteration)
-        block = np.stack([next(rows) for _ in range(k)])
+        block = take_block()
         state, metrics = chunk_fn(state, data, block)
         profiler.maybe_stop(iteration)
         end_iteration = iteration + k - 1

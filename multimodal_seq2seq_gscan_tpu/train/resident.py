@@ -51,17 +51,15 @@ class ResidentData(NamedTuple):
         return self.input_ids.shape[0]
 
 
-def build_resident_data(training_set, mesh=None) -> ResidentData:
-    """Pack a ``GroundedScanDataset`` into device-resident arrays.
-
-    With ``mesh`` the arrays are replicated over it (each device holds the
-    full split; batches are then sharded by index-block sharding).
-    """
+def host_resident_data(training_set) -> ResidentData:
+    """Pack a ``GroundedScanDataset`` into host numpy arrays (the single
+    source of truth for the column layout; ``gather_batch`` works on these
+    host arrays exactly as on their device-put counterparts)."""
     training_set._ensure_packed()
     situations = training_set._situation_stack
     if situations.dtype != np.uint8:
         situations = situations.astype(np.uint8)
-    host = ResidentData(
+    return ResidentData(
         input_ids=np.ascontiguousarray(training_set._input_matrix),
         input_lengths=training_set._input_lengths,
         situations=np.ascontiguousarray(situations),
@@ -69,6 +67,15 @@ def build_resident_data(training_set, mesh=None) -> ResidentData:
         target_lengths=training_set._target_lengths,
         agent_positions=training_set._agent_positions,
         target_positions=training_set._target_positions)
+
+
+def build_resident_data(training_set, mesh=None) -> ResidentData:
+    """Pack a ``GroundedScanDataset`` into device-resident arrays.
+
+    With ``mesh`` the arrays are replicated over it (each device holds the
+    full split; batches are then sharded by index-block sharding).
+    """
+    host = host_resident_data(training_set)
     sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

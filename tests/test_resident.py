@@ -12,8 +12,8 @@ from multimodal_seq2seq_gscan_tpu.core.batch import Batch
 from multimodal_seq2seq_gscan_tpu.models.config import ModelConfig
 from multimodal_seq2seq_gscan_tpu.parallel import make_mesh
 from multimodal_seq2seq_gscan_tpu.train.resident import (
-    ResidentData, build_resident_data, index_block_stream, make_train_chunk,
-    resolve_chunk_size)
+    ResidentData, build_resident_data, gather_batch, index_block_stream,
+    make_train_chunk, resolve_chunk_size)
 from multimodal_seq2seq_gscan_tpu.train.state import (
     create_train_state, make_optimizer)
 from multimodal_seq2seq_gscan_tpu.train.step import make_train_step
@@ -67,14 +67,8 @@ def _toy_problem(n=24, batch=8, grid=4, channels=6, t_in=7, t_out=9):
 
 
 def _host_batch_from(host: ResidentData, idx) -> Batch:
-    return Batch(
-        input_ids=host.input_ids[idx],
-        input_lengths=host.input_lengths[idx],
-        situations=host.situations[idx].astype(np.float32),
-        target_ids=host.target_ids[idx],
-        target_lengths=host.target_lengths[idx],
-        agent_positions=host.agent_positions[idx],
-        target_positions=host.target_positions[idx])
+    # gather_batch works on host numpy arrays exactly as on device arrays.
+    return gather_batch(host, idx)
 
 
 def test_chunk_matches_single_steps():
