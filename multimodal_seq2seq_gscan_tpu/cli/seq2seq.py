@@ -240,6 +240,8 @@ def run_test(flags, data_path):
         "No vocabs found at {} and {}".format(flags["input_vocab_path"],
                                               flags["target_vocab_path"]))
     splits = flags["splits"].split(",")
+    shared_dataset = None   # parse dataset.txt once, reuse across splits
+    shared_backend = "auto"
     for split in splits:
         logger.info("Loading {} dataset split...".format(split))
         test_set = GroundedScanDataset(
@@ -247,11 +249,14 @@ def run_test(flags, data_path):
             input_vocabulary_file=flags["input_vocab_path"],
             target_vocabulary_file=flags["target_vocab_path"],
             generate_vocabulary=False, k=flags["k"],
-            k_shot_seed=flags.get("seed"))
+            k_shot_seed=flags.get("seed"), dataset=shared_dataset,
+            backend=shared_backend)
         test_set.read_dataset(
             max_examples=None,
             simple_situation_representation=flags[
                 "simple_situation_representation"])
+        shared_dataset = test_set.dataset or test_set._native
+        shared_backend = test_set.backend
         logger.info("Done Loading {} dataset split.".format(split))
         logger.info("  Loaded {} examples.".format(test_set.num_examples))
         logger.info("  Input vocabulary size: {}".format(

@@ -72,19 +72,23 @@ def trained_dir(generated_dir):
 
 
 def test_cli_test_mode_writes_predict_json(trained_dir):
+    # Two splits: the second reuses the first's parsed dataset (the test-mode
+    # counterpart of the train loop's shared-engine load).
     seq2seq_cli.main(_seq2seq_flags(
         mode="test", data_directory=trained_dir, output_directory=trained_dir,
         generate_vocabularies=False, input_vocab_path="input_vocab.txt",
-        target_vocab_path="target_vocab.txt", splits="test",
+        target_vocab_path="target_vocab.txt", splits="test,dev",
         resume_from_file=os.path.join(trained_dir, "checkpoint.msgpack"),
         max_decoding_steps=25, embedding_dimension=12, encoder_hidden_size=16,
         decoder_hidden_size=16, cnn_kernel_size=3, cnn_hidden_num_channels=8,
         test_batch_size=32, seed=1))
-    predict_path = os.path.join(trained_dir, "test_predict.json")
-    assert os.path.exists(predict_path)
-    with open(predict_path) as f:
-        records = json.load(f)
-    assert len(records) > 0
+    for split in ("test", "dev"):
+        predict_path = os.path.join(trained_dir,
+                                    "{}_predict.json".format(split))
+        assert os.path.exists(predict_path)
+        with open(predict_path) as f:
+            records = json.load(f)
+        assert len(records) > 0
 
 
 def test_error_analysis_cli(trained_dir):
