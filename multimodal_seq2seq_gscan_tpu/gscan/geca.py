@@ -78,6 +78,14 @@ class GecaAugmenter:
 
     def __init__(self, dataset, max_fragment_len: int = 3):
         self.dataset = dataset
+        # Generalization-split datasets keep train free of the 7 held-out
+        # conditions (reference dataset_test.py:696-754 asserts this train
+        # hygiene); augmented examples must respect the same invariant, or
+        # "held-out" test numbers silently measure leaked training data.
+        holdout = [s for s in dataset._possible_splits
+                   if s not in ("train", "dev", "test")]
+        self._filter_heldout = any(dataset._data_pairs.get(s)
+                                   for s in holdout)
         grammar = dataset._grammar
         if not grammar.all_derivations:
             grammar.generate_all_commands()
@@ -202,10 +210,18 @@ class GecaAugmenter:
                     if key in seen:
                         continue
                     try:
-                        target_commands, _, _ = dataset.demonstrate_command(
-                            derivation, initial_situation=new_situation)
+                        target_commands, _, target_action = \
+                            dataset.demonstrate_command(
+                                derivation, initial_situation=new_situation)
                     except (AssertionError, ValueError, KeyError):
                         continue
+                    if self._filter_heldout:
+                        tgt = new_situation.target_object.object
+                        if dataset.assign_splits(
+                                tgt.size, tgt.color, tgt.shape, target_action,
+                                new_situation.direction_to_target, predicate,
+                                dataset._vocabulary.translate_word(adverb)):
+                            continue  # would land in a held-out condition
                     dataset.fill_example(
                         command=list(candidate), derivation=derivation,
                         situation=new_situation,

@@ -77,6 +77,55 @@ def test_augment_never_duplicates_existing_examples(adverb_dataset):
     assert len(keys) == len(set(keys))
 
 
+@pytest.fixture(scope="module")
+def generalization_dataset(tmp_path_factory):
+    directory = str(tmp_path_factory.mktemp("geca_gen_ds"))
+    random.seed(9)
+    np.random.seed(9)
+    dataset = GroundedScan(
+        intransitive_verbs=["walk"], transitive_verbs=["push", "pull"],
+        adverbs=["cautiously", "while spinning"],
+        nouns=["circle", "square"], color_adjectives=["red", "yellow"],
+        size_adjectives=["big", "small"], percentage_train=0.8,
+        min_object_size=1, max_object_size=4, sample_vocabulary="default",
+        save_directory=directory, grid_size=6, type_grammar="adverb")
+    dataset.get_data_pairs(max_examples=600, num_resampling=1,
+                           split_type="generalization", make_dev_set=True)
+    return dataset
+
+
+def test_augment_respects_heldout_conditions(generalization_dataset):
+    """On a generalization-split dataset, augmented train examples must not
+    satisfy any of the 7 held-out conditions (the train-hygiene invariant the
+    reference's dataset tests assert, dataset_test.py:696-754) — otherwise
+    the held-out evaluations measure leaked training data."""
+    from multimodal_seq2seq_gscan_tpu.gscan.types import Situation
+
+    dataset = generalization_dataset
+    before = dataset.num_examples("train")
+    augmenter = GecaAugmenter(dataset)
+    assert augmenter._filter_heldout
+    added = augmenter.augment(max_new=30, rng=random.Random(11))
+    assert added > 0
+    for example in dataset._data_pairs["train"][before:]:
+        situation = Situation.from_representation(example["situation"])
+        target = situation.target_object.object
+        referred = example["referred_target"].split()
+        # Default vocabulary: surface form == meaning, so the paper's
+        # conditions can be checked on the stored fields directly.
+        assert not (target.color == "red" and target.shape == "square")
+        assert situation.direction_to_target != "sw"
+        assert not ("small" in referred and target.shape == "circle"
+                    and target.size == 2)
+        assert not (example["verb_in_command"] == "push"
+                    and target.shape == "square" and target.size == 3)
+        assert example["manner"] != "cautiously"
+        assert not (example["verb_in_command"] == "pull"
+                    and example["manner"] == "while spinning")
+        assert not ("yellow" in referred and target.color == "yellow"
+                    and target.shape == "square")
+
+
 def test_augmented_dataset_saves_loads_and_trains(adverb_dataset, tmp_path):
     import jax
 
