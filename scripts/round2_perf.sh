@@ -7,6 +7,7 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
+export PYTHONPATH="${PYTHONPATH:+$PYTHONPATH:}."   # scripts/*.py import the package
 OUT=documentation/perf_round2.txt
 S="python -m multimodal_seq2seq_gscan_tpu.cli.seq2seq"
 D=data/compositional_splits_r10
