@@ -117,9 +117,12 @@ def main():
     dt = timeit(lambda: chunk_no_gather(state, fixed)[1])
     print("chunk k=50, no gather             : %7.3f ms/step" % (dt / 50 * 1e3))
 
-    # 3b. gather only (no model): sum of the gathered batch
+    # 3b. gather only (no model): sum of the gathered batch. `data` must be
+    # an ARGUMENT — closed-over device arrays are inlined as constants into
+    # the serialized computation (hundreds of MB over the remote-compile
+    # channel).
     @jax.jit
-    def chunk_gather_only(idx_block):
+    def chunk_gather_only(data, idx_block):
         def body(carry, idx):
             b = gather_batch(data, idx)
             s = (jnp.sum(b.situations) + jnp.sum(b.input_ids)
@@ -129,7 +132,7 @@ def main():
         return total
 
     idx = rng.randint(0, N, size=(50, B)).astype(np.int32)
-    dt = timeit(lambda: chunk_gather_only(idx))
+    dt = timeit(lambda: chunk_gather_only(data, idx))
     print("chunk k=50, gather only           : %7.3f ms/step" % (dt / 50 * 1e3))
 
     # 4. f32-resident situations (gather without cast)
