@@ -32,7 +32,9 @@ import numpy as np
 
 BASELINE_EXAMPLES_PER_SECOND = 21.35  # 2001 ex / 93.74 s, batch-1 reference
 MAX_DECODING_STEPS = 120              # all_experiments.sh test setting
-BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", 512))
+# Default from the measured batch sweep (documentation/perf_round2.txt):
+# 512 -> 165k ex/s, 1024 -> 226k, 2048 -> 373k, 4096 -> 382k (early-exit).
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", 4096))
 MAX_EXAMPLES = int(os.environ.get("BENCH_MAX_EXAMPLES", 4096))
 
 
