@@ -19,8 +19,12 @@ for seed in 66 49 50; do
 done
 
 # Experiment 1b: k-shot adverb runs (k examples of 'cautiously' in train).
+# Reference seeds per k (reference all_experiments.sh:9-12):
+#   k=5: 66/67/82, k=10: 84/94/104, k=50: 104/105/106.
+k_seeds() { case $1 in 5) echo "66 67 82";; 10) echo "84 94 104";;
+            50) echo "104 105 106";; esac; }
 for k in 5 10 50; do
-  for seed in 66 104 08; do
+  for seed in $(k_seeds $k); do
     $SEQ2SEQ --mode=train --data_directory=data/compositional_splits \
       --attention_type=bahdanau --max_decoding_steps=120 --no_auxiliary_task \
       --conditional_attention --output_directory=adverb_run_k${k}_seed${seed} \
@@ -48,8 +52,9 @@ for seed in 77 81 83; do
     --generate_vocabularies
 done
 
-# Experiment 3: target lengths (wider CNN kernel, 3 seeds).
-for seed in 106 107 108; do
+# Experiment 3: target lengths (wider CNN kernel, 3 seeds;
+# reference all_experiments.sh:25-32 seeds).
+for seed in 106 116 126; do
   $SEQ2SEQ --mode=train --data_directory=data/target_length_split \
     --attention_type=bahdanau --max_decoding_steps=120 --no_auxiliary_task \
     --conditional_attention --cnn_kernel_size=13 \
