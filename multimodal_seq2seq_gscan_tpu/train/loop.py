@@ -76,10 +76,15 @@ def _train_resident(state, training_set, config, optimizer, train_step,
     def at_boundaries(it, state, metrics):
         nonlocal window_start, window_steps
         if it % print_every == 0:
+            # Fetch BEFORE timing: dispatch is async, so the window must be
+            # closed only once this boundary's device work has completed —
+            # otherwise each window times the previous window's device time
+            # (and the first window after an eval times only dispatch).
+            metrics = jax.device_get(metrics)
             elapsed = time.time() - window_start
             steps_per_s = window_steps / max(elapsed, 1e-9)
             window_start, window_steps = time.time(), 0
-            log_metrics(it, jax.device_get(metrics), steps_per_s)
+            log_metrics(it, metrics, steps_per_s)
         if it % evaluate_every == 0:
             run_evaluation(it, state)
             window_start, window_steps = time.time(), 0
@@ -306,11 +311,11 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
             window_steps += 1
 
             if training_iteration % print_every == 0:
+                metrics = jax.device_get(metrics)  # complete before timing
                 elapsed = time.time() - window_start
                 steps_per_s = window_steps / max(elapsed, 1e-9)
                 window_start, window_steps = time.time(), 0
-                log_metrics(training_iteration, jax.device_get(metrics),
-                            steps_per_s)
+                log_metrics(training_iteration, metrics, steps_per_s)
 
             if training_iteration % evaluate_every == 0:
                 run_evaluation(training_iteration, state)
