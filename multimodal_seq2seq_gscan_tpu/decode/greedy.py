@@ -48,18 +48,24 @@ class GreedyDecodeOutput(NamedTuple):
 
 @lru_cache(maxsize=8)
 def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
-                        early_exit: bool = True, mesh=None):
+                        early_exit: bool = True, mesh=None,
+                        exit_check_every: int = 8):
     """Build a jitted batched greedy decoder.
 
-    Memoized on (config, max_decoding_steps, early_exit, mesh) — all hashable
-    — so repeated evaluations during training (predict() is called every
-    ``evaluate_every`` iterations) reuse one jitted program instead of
-    retracing/recompiling each time.
+    Memoized on (config, max_decoding_steps, early_exit, mesh,
+    exit_check_every) — all hashable — so repeated evaluations during
+    training (predict() is called every ``evaluate_every`` iterations) reuse
+    one jitted program instead of retracing/recompiling each time.
 
     With ``early_exit`` (default) the time loop is a ``lax.while_loop`` that
     stops as soon as every example in the batch has emitted EOS — on real data
     (targets ~15 tokens, cap 120) this saves ~8x device time over always
     unrolling all steps. Output buffers stay statically shaped [B, S].
+    The all-done test runs hierarchically: each ``while_loop`` iteration
+    executes a ``lax.scan`` block of ``exit_check_every`` decoder steps, so
+    the per-iteration loop/reduction overhead (which at batch 4096 used to
+    cost more than the skipped tail saved) is amortized over K steps at the
+    price of overshooting the last EOS by at most K-1 steps.
 
     With ``mesh``, parameters are replicated and every batch-leading array
     (inputs and outputs) is sharded over the mesh's 'data' axis — the decode
@@ -98,38 +104,60 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
                     emitting.astype(jnp.float32), attn_cmd, attn_sit)
 
         if early_exit:
+            block = max(1, min(exit_check_every, num_steps))
+            num_blocks = -(-num_steps // block)
+            padded_steps = num_blocks * block
             m_t = projected_textual.shape[1]
             m_v = projected_visual.shape[1]
-            tokens_buf = jnp.zeros((num_steps, batch), jnp.int32)
-            emitted_buf = jnp.zeros((num_steps, batch), jnp.float32)
-            attn_cmd_buf = jnp.zeros((num_steps, batch, m_t), jnp.float32)
-            attn_sit_buf = jnp.zeros((num_steps, batch, m_v), jnp.float32)
+            tokens_buf = jnp.zeros((padded_steps, batch), jnp.int32)
+            emitted_buf = jnp.zeros((padded_steps, batch), jnp.float32)
+            attn_cmd_buf = jnp.zeros((padded_steps, batch, m_t), jnp.float32)
+            attn_sit_buf = jnp.zeros((padded_steps, batch, m_v), jnp.float32)
 
             def cond(state):
-                step_idx, _, _, done, _, _, _, _ = state
-                return jnp.logical_and(step_idx < num_steps,
+                block_idx, _, _, done, _, _, _, _ = state
+                return jnp.logical_and(block_idx < num_blocks,
                                        jnp.logical_not(jnp.all(done)))
 
             def body(state):
-                (step_idx, tokens, hidden, done, tokens_buf, emitted_buf,
+                (block_idx, tokens, hidden, done, tokens_buf, emitted_buf,
                  attn_cmd_buf, attn_sit_buf) = state
-                (carry_tokens, new_hidden, new_done, tokens_out, emitting,
-                 attn_cmd, attn_sit) = step_compute(tokens, hidden, done)
-                tokens_buf = lax.dynamic_update_index_in_dim(
-                    tokens_buf, tokens_out, step_idx, 0)
-                emitted_buf = lax.dynamic_update_index_in_dim(
-                    emitted_buf, emitting, step_idx, 0)
-                attn_cmd_buf = lax.dynamic_update_index_in_dim(
-                    attn_cmd_buf, attn_cmd, step_idx, 0)
-                attn_sit_buf = lax.dynamic_update_index_in_dim(
-                    attn_sit_buf, attn_sit, step_idx, 0)
-                return (step_idx + 1, carry_tokens, new_hidden, new_done,
+                start = block_idx * block
+
+                def inner(carry, offset):
+                    tokens, hidden, done = carry
+                    (carry_tokens, new_hidden, new_done, tokens_out, emitting,
+                     attn_cmd, attn_sit) = step_compute(tokens, hidden, done)
+                    # Steps past the reference's iteration cap (padding in the
+                    # final block) must not count as emitted.
+                    in_range = (start + offset) < num_steps
+                    emitting = emitting * in_range.astype(jnp.float32)
+                    tokens_out = jnp.where(in_range, tokens_out, 0)
+                    return ((carry_tokens, new_hidden, new_done),
+                            (tokens_out, emitting, attn_cmd, attn_sit))
+
+                ((tokens, hidden, done),
+                 (t_blk, e_blk, ac_blk, as_blk)) = lax.scan(
+                    inner, (tokens, hidden, done), jnp.arange(block))
+                tokens_buf = lax.dynamic_update_slice_in_dim(
+                    tokens_buf, t_blk, start, 0)
+                emitted_buf = lax.dynamic_update_slice_in_dim(
+                    emitted_buf, e_blk, start, 0)
+                attn_cmd_buf = lax.dynamic_update_slice_in_dim(
+                    attn_cmd_buf, ac_blk, start, 0)
+                attn_sit_buf = lax.dynamic_update_slice_in_dim(
+                    attn_sit_buf, as_blk, start, 0)
+                return (block_idx + 1, tokens, hidden, done,
                         tokens_buf, emitted_buf, attn_cmd_buf, attn_sit_buf)
 
             state = (jnp.int32(0), start_tokens, hidden, done0, tokens_buf,
                      emitted_buf, attn_cmd_buf, attn_sit_buf)
             (_, _, _, _, tokens, emitted, attn_cmd, attn_sit) = \
                 lax.while_loop(cond, body, state)
+            tokens = tokens[:num_steps]
+            emitted = emitted[:num_steps]
+            attn_cmd = attn_cmd[:num_steps]
+            attn_sit = attn_sit[:num_steps]
         else:
             def step(carry, _):
                 tokens, hidden, done = carry

@@ -56,3 +56,42 @@ def test_early_exit_equals_full_scan():
             np.asarray(out_fast.attention_commands[i, :n]),
             np.asarray(out_slow.attention_commands[i, :n]), atol=1e-6)
     np.testing.assert_array_equal(emitted, np.asarray(out_fast.emitted_mask))
+
+
+def test_blocked_early_exit_equals_full_scan_all_block_sizes():
+    """The hierarchical done-check (exit_check_every=K) must be exact for
+    every K, including K=1 (the old per-step check), K not dividing
+    num_steps (padding in the final block), and K > num_steps (clamped)."""
+    config = ModelConfig(input_vocabulary_size=12, target_vocabulary_size=9,
+                         num_cnn_channels=8, embedding_dimension=8,
+                         encoder_hidden_size=12, decoder_hidden_size=12,
+                         cnn_kernel_size=3, cnn_hidden_num_channels=6)
+    params = init_model_params(jax.random.PRNGKey(4), config)
+    rng = np.random.RandomState(3)
+    input_ids, input_lengths, situations = _random_batch(
+        rng, batch=9, t_in=8, grid=5, channels=8, vocab=12)
+    target_positions = np.zeros((9,), np.int32)
+    args = (params, jnp.asarray(input_ids), jnp.asarray(input_lengths),
+            jnp.asarray(situations), jnp.asarray(target_positions))
+
+    # max_decoding_steps=20 -> num_steps=21 (odd, exercises padding).
+    slow = make_greedy_decoder(config, max_decoding_steps=20,
+                               early_exit=False)
+    out_slow = slow(*args)
+    seq_slow, kept_slow = strip_output_sequences(out_slow, 2)
+    for k in (1, 4, 7, 8, 64):
+        fast = make_greedy_decoder(config, max_decoding_steps=20,
+                                   early_exit=True, exit_check_every=k)
+        out_fast = fast(*args)
+        seq_fast, kept_fast = strip_output_sequences(out_fast, 2)
+        assert seq_fast == seq_slow, "K={}".format(k)
+        assert kept_fast == kept_slow, "K={}".format(k)
+        np.testing.assert_array_equal(np.asarray(out_fast.lengths),
+                                      np.asarray(out_slow.lengths))
+        np.testing.assert_array_equal(np.asarray(out_fast.emitted_mask),
+                                      np.asarray(out_slow.emitted_mask))
+        for i in range(9):
+            n = int(out_slow.lengths[i])
+            np.testing.assert_allclose(
+                np.asarray(out_fast.attention_situations[i, :n]),
+                np.asarray(out_slow.attention_situations[i, :n]), atol=1e-6)
