@@ -149,11 +149,13 @@ class Workbook:
 
     @staticmethod
     def _cfb(stream: bytes) -> bytes:
-        # Pad the stream past the mini-stream cutoff so it lives in the
-        # regular FAT, then to a whole number of sectors.
+        # [MS-CFB] requires streams smaller than the 4096-byte cutoff to live
+        # in the root entry's mini stream — a conforming reader looks for
+        # them there, so small workbooks must take the mini-FAT path.
         size = len(stream)
-        padded = max(len(stream), 4097)
-        padded += (-padded) % SECTOR
+        if size < 4096:
+            return Workbook._cfb_mini(stream)
+        padded = size + (-size) % SECTOR
         stream = stream + b"\x00" * (padded - len(stream))
         n_stream = padded // SECTOR
 
@@ -206,6 +208,76 @@ class Workbook:
 
         return bytes(header) + stream + directory.ljust(SECTOR, b"\x00") \
             + fat_blob
+
+    @staticmethod
+    def _cfb_mini(stream: bytes) -> bytes:
+        """Container for a sub-cutoff stream: mini-FAT + root mini stream."""
+        size = len(stream)
+        mini_count = max(1, -(-size // 64))
+        mini = stream + b"\x00" * (mini_count * 64 - size)
+        mini_padded = mini + b"\x00" * ((-len(mini)) % SECTOR)
+        n_mini_sect = len(mini_padded) // SECTOR
+
+        # Mini-FAT: one chain covering the Workbook's mini sectors.
+        minifat = [i + 1 for i in range(mini_count - 1)] + [ENDOFCHAIN]
+        minifat.extend([FREESECT] * ((-len(minifat)) % (SECTOR // 4)))
+        minifat_blob = struct.pack("<{}I".format(len(minifat)), *minifat)
+        n_minifat_sect = len(minifat_blob) // SECTOR
+
+        # Sector layout: mini stream | directory | mini FAT | FAT.
+        dir_sector = n_mini_sect
+        minifat_sector = dir_sector + 1
+        fat_sector = minifat_sector + n_minifat_sect
+        n_fat = 1
+        while True:
+            total = fat_sector + n_fat
+            needed = (total + SECTOR // 4 - 1) // (SECTOR // 4)
+            if needed <= n_fat:
+                break
+            n_fat = needed
+
+        fat = [i + 1 for i in range(n_mini_sect - 1)] + [ENDOFCHAIN]
+        fat.append(ENDOFCHAIN)  # directory sector
+        fat.extend([minifat_sector + i + 1
+                    for i in range(n_minifat_sect - 1)] + [ENDOFCHAIN])
+        fat.extend([FATSECT] * n_fat)
+        fat.extend([FREESECT] * (n_fat * (SECTOR // 4) - len(fat)))
+        fat_blob = struct.pack("<{}I".format(len(fat)), *fat)
+
+        def dir_entry(name, entry_type, start, length, child=NOSTREAM):
+            encoded = name.encode("utf-16-le") + b"\x00\x00"
+            entry = bytearray(128)
+            entry[0:len(encoded)] = encoded
+            struct.pack_into("<H", entry, 64, len(encoded))
+            entry[66] = entry_type
+            entry[67] = 1
+            struct.pack_into("<III", entry, 68, NOSTREAM, NOSTREAM, child)
+            struct.pack_into("<I", entry, 116, start)
+            struct.pack_into("<I", entry, 120, length)
+            return bytes(entry)
+
+        directory = (
+            dir_entry("Root Entry", 5, 0, len(mini), child=1)
+            + dir_entry("Workbook", 2, 0, size)
+            + bytes(128) + bytes(128))
+
+        header = bytearray(SECTOR)
+        header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+        struct.pack_into("<HHHHH", header, 24, 0x003E, 0x0003, 0xFFFE, 9, 6)
+        struct.pack_into("<I", header, 44, n_fat)
+        struct.pack_into("<I", header, 48, dir_sector)
+        struct.pack_into("<I", header, 56, 4096)            # mini cutoff
+        struct.pack_into("<I", header, 60, minifat_sector)  # first mini FAT
+        struct.pack_into("<I", header, 64, n_minifat_sect)
+        struct.pack_into("<I", header, 68, ENDOFCHAIN)      # first DIFAT
+        struct.pack_into("<I", header, 72, 0)
+        difat = [fat_sector + i for i in range(n_fat)]
+        difat.extend([FREESECT] * (109 - len(difat)))
+        struct.pack_into("<109I", header, 76, *difat)
+
+        return (bytes(header) + mini_padded
+                + directory.ljust(SECTOR, b"\x00")
+                + minifat_blob + fat_blob)
 
     def save(self, path: str) -> str:
         with open(path, "wb") as f:
