@@ -49,7 +49,8 @@ class GreedyDecodeOutput(NamedTuple):
 @lru_cache(maxsize=8)
 def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
                         early_exit: bool = True, mesh=None,
-                        exit_check_every: int = 8):
+                        exit_check_every: int = 8,
+                        decode_impl: str = "xla"):
     """Build a jitted batched greedy decoder.
 
     Memoized on (config, max_decoding_steps, early_exit, mesh,
@@ -74,6 +75,13 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
     the ICI.
     """
     num_steps = max_decoding_steps + 1  # reference loops while iter <= max.
+
+    use_pallas = decode_impl == "pallas"
+    if use_pallas and (mesh is not None or config.num_decoder_layers != 1
+                       or not config.conditional_attention):
+        # The fused kernel covers the flagship single-layer conditional
+        # configuration; everything else uses the general XLA path.
+        use_pallas = False
 
     def greedy_decode(params: ModelParams, input_ids, input_lengths, situations,
                       target_positions) -> GreedyDecodeOutput:
@@ -103,7 +111,71 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
             return (carry_tokens, new_hidden, new_done, tokens_out,
                     emitting.astype(jnp.float32), attn_cmd, attn_sit)
 
-        if early_exit:
+        if use_pallas:
+            from multimodal_seq2seq_gscan_tpu.ops.pallas_decoder import (
+                fused_decode_block, pack_decoder_weights)
+            weights = pack_decoder_weights(params, config.target_pad_idx)
+            interpret = jax.default_backend() != "tpu"
+            block = max(1, min(exit_check_every, num_steps))
+            num_blocks = -(-num_steps // block)
+            padded_steps = num_blocks * block
+            m_t = projected_textual.shape[1]
+            m_v = projected_visual.shape[1]
+            h0, c0 = hidden[0][0], hidden[1][0]
+
+            def run_block(h, c, tokens, done):
+                return fused_decode_block(
+                    projected_textual, encoded.command_mask, projected_visual,
+                    h, c, tokens, done, weights, num_steps=block,
+                    sos_idx=config.target_sos_idx,
+                    eos_idx=config.target_eos_idx, interpret=interpret)
+
+            if early_exit:
+                bufs = (jnp.zeros((padded_steps, batch), jnp.int32),
+                        jnp.zeros((padded_steps, batch), jnp.float32),
+                        jnp.zeros((padded_steps, batch, m_t), jnp.float32),
+                        jnp.zeros((padded_steps, batch, m_v), jnp.float32))
+
+                def pallas_cond(state):
+                    block_idx, _, _, _, done = state[:5]
+                    return jnp.logical_and(block_idx < num_blocks,
+                                           jnp.logical_not(jnp.all(done)))
+
+                def pallas_body(state):
+                    (block_idx, h, c, tokens, done, tb, eb, acb, asb) = state
+                    start = block_idx * block
+                    (h, c, tokens, done, t_blk, e_blk, ac_blk, as_blk) = \
+                        run_block(h, c, tokens, done)
+                    tb = lax.dynamic_update_slice_in_dim(tb, t_blk, start, 0)
+                    eb = lax.dynamic_update_slice_in_dim(eb, e_blk, start, 0)
+                    acb = lax.dynamic_update_slice_in_dim(acb, ac_blk, start, 0)
+                    asb = lax.dynamic_update_slice_in_dim(asb, as_blk, start, 0)
+                    return (block_idx + 1, h, c, tokens, done,
+                            tb, eb, acb, asb)
+
+                state = (jnp.int32(0), h0, c0, start_tokens, done0) + bufs
+                state = lax.while_loop(pallas_cond, pallas_body, state)
+                tokens, emitted, attn_cmd, attn_sit = state[5:]
+            else:
+                def pallas_step(carry, _):
+                    h, c, tokens, done = carry
+                    h, c, tokens, done, t_blk, e_blk, ac_blk, as_blk = \
+                        run_block(h, c, tokens, done)
+                    return ((h, c, tokens, done),
+                            (t_blk, e_blk, ac_blk, as_blk))
+
+                _, (tokens, emitted, attn_cmd, attn_sit) = lax.scan(
+                    pallas_step, (h0, c0, start_tokens, done0), None,
+                    length=num_blocks)
+                tokens = tokens.reshape(padded_steps, batch)
+                emitted = emitted.reshape(padded_steps, batch)
+                attn_cmd = attn_cmd.reshape(padded_steps, batch, m_t)
+                attn_sit = attn_sit.reshape(padded_steps, batch, m_v)
+            tokens = tokens[:num_steps]
+            emitted = emitted[:num_steps]
+            attn_cmd = attn_cmd[:num_steps]
+            attn_sit = attn_sit[:num_steps]
+        elif early_exit:
             block = max(1, min(exit_check_every, num_steps))
             num_blocks = -(-num_steps // block)
             padded_steps = num_blocks * block
