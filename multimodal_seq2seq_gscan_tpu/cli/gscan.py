@@ -244,10 +244,13 @@ def main(flags=None):
         logger.info("Saved GECA-augmented dataset (+{} examples) to "
                     "{}".format(added, dataset_path))
     elif flags["mode"] == "execute_commands":
+        # The analysis tools need only the dataset header (vocab + grammar +
+        # world), never the examples — stream past them (campaign-scale
+        # dataset.txt files are multi-GB).
+        grounded_scan = GroundedScan.load_dataset_header(
+            flags["load_dataset_from"], flags["output_directory"])
         for file in flags["predicted_commands_files"].split(","):
             logger.info("Visualizing predictions from file: {}".format(file))
-            grounded_scan = GroundedScan.load_dataset_from_file(
-                flags["load_dataset_from"], flags["output_directory"])
             grounded_scan.visualize_prediction(
                 os.path.join(flags["output_directory"], file),
                 only_save_errors=flags["only_save_errors"])
@@ -256,10 +259,10 @@ def main(flags=None):
     elif flags["mode"] == "position_analysis":
         from multimodal_seq2seq_gscan_tpu.analysis.workbook import Workbook
         workbook = Workbook()
+        grounded_scan = GroundedScan.load_dataset_header(
+            flags["load_dataset_from"], flags["output_directory"])
         for file in flags["predicted_commands_files"].split(","):
             logger.info("Performing position analysis on file: {}".format(file))
-            grounded_scan = GroundedScan.load_dataset_from_file(
-                flags["load_dataset_from"], flags["output_directory"])
             grounded_scan.position_analysis(
                 os.path.join(flags["output_directory"], file),
                 workbook=workbook)
@@ -279,11 +282,11 @@ def main(flags=None):
              "-q"], check=False)
         raise SystemExit(result.returncode)
     elif flags["mode"] == "error_analysis":
+        grounded_scan = GroundedScan.load_dataset_header(
+            flags["load_dataset_from"], flags["output_directory"])
         for file in flags["predicted_commands_files"].split(","):
             file_name = file.split(".json")[0]
             logger.info("Performing error analysis on file: {}".format(file))
-            grounded_scan = GroundedScan.load_dataset_from_file(
-                flags["load_dataset_from"], flags["output_directory"])
             save_plots_in = os.path.join(flags["output_directory"], file_name)
             os.makedirs(save_plots_in, exist_ok=True)
             grounded_scan.error_analysis(

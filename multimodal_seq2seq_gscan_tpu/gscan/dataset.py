@@ -917,6 +917,50 @@ class GroundedScan:
                     dataset.update_data_statistics(example, split)
         return dataset
 
+    @classmethod
+    def load_dataset_header(cls, file_path: str, save_directory: str):
+        """Reconstruct a dataset WITHOUT loading any examples.
+
+        The analysis tools (error_analysis / position_analysis /
+        visualize_prediction; reference GroundedScan/__main__.py:179-221) only
+        need the dataset's vocabulary, grammar, and world machinery — all of
+        which derive from dataset.txt's header fields, not from the examples.
+        ``load_dataset_from_file`` json-loads the whole multi-GB file (the
+        reference's approach, dataset.py:640-656), which costs tens of GB of
+        RAM and minutes per analyzed file at campaign scale; this streams past
+        the ``"examples"`` block (one key per line, 4-space indents — the
+        save_dataset wire format, pinned by parity tests) and parses only the
+        surrounding metadata.
+        """
+        header_lines = ["{"]
+        with open(file_path, "r", buffering=1 << 20) as infile:
+            first = infile.readline()
+            if first.strip() != "{":
+                raise ValueError("not a pretty-printed dataset.txt: "
+                                 "{}".format(file_path))
+            in_examples = False
+            for line in infile:
+                if in_examples:
+                    if line.rstrip("\n") in ("    },", "    }"):
+                        in_examples = False
+                    continue
+                if line.startswith('    "examples": {'):
+                    in_examples = True
+                    continue
+                header_lines.append(line)
+        all_data = json.loads("".join(header_lines))
+        percentage_train = all_data.get("percentage_train") or 0.8
+        return cls(all_data["intransitive_verbs"],
+                   all_data["transitive_verbs"], all_data["adverbs"],
+                   all_data["nouns"], all_data["color_adjectives"],
+                   all_data["size_adjectives"], all_data["grid_size"],
+                   all_data["min_object_size"], all_data["max_object_size"],
+                   type_grammar=all_data["type_grammar"],
+                   save_directory=save_directory,
+                   percentage_train=percentage_train,
+                   max_recursion=all_data["max_recursion"],
+                   sample_vocabulary="load")
+
     # ------------------------------------------------------------------
     # Statistics
     # ------------------------------------------------------------------
