@@ -132,6 +132,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--decoder_dropout_p", type=float, default=0.3,
                         help="Dropout on decoder embedding and LSTM.")
     parser.add_argument("--decoder_hidden_size", type=int, default=100)
+    parser.add_argument("--teacher_forced_impl", type=str, default="xla",
+                        choices=["xla", "pallas"],
+                        help="Teacher-forced unroll: XLA scan or the fused "
+                             "Pallas whole-unroll kernel pair (single-chip, "
+                             "single-layer conditional decoder).")
     parser.add_argument("--conditional_attention",
                         dest="conditional_attention", default=True,
                         action="store_true",

@@ -32,6 +32,11 @@ class ModelConfig(NamedTuple):
     attention_type: str = "bahdanau"
     # "xla" (default; XLA-fused) or "pallas" (fused VMEM kernel, ops/).
     attention_impl: str = "xla"
+    # Teacher-forced unroll implementation: "xla" (lax.scan of decoder_step)
+    # or "pallas" (whole-unroll fused kernel pair with hand-derived backward,
+    # ops/pallas_teacher_forced.py; single-layer conditional decoder only,
+    # single-chip — falls back to "xla" otherwise).
+    teacher_forced_impl: str = "xla"
 
     input_padding_idx: int = 0
     target_pad_idx: int = 0

@@ -196,6 +196,13 @@ def decode_teacher_forced(params: ModelParams, config: ModelConfig,
     projected_textual, projected_visual = project_keys(params, encoded)
     hidden = initialize_decoder_hidden(params, config, encoded.hidden)
 
+    if (config.teacher_forced_impl == "pallas"
+            and config.num_decoder_layers == 1
+            and config.conditional_attention):
+        return _decode_teacher_forced_pallas(
+            params, config, target_ids, encoded, projected_textual,
+            projected_visual, hidden, rng=rng, deterministic=deterministic)
+
     def step(carry, xs):
         hidden, step_idx = carry
         tokens = xs
@@ -215,6 +222,46 @@ def decode_teacher_forced(params: ModelParams, config: ModelConfig,
     # Sum of visual attention over *all* decode steps, padded ones included
     # (matches the reference, which sums over the full unrolled length).
     summed_attention = jnp.sum(attn_situations, axis=0)  # [B, M_v]
+    return log_probs, summed_attention
+
+
+def _decode_teacher_forced_pallas(params, config, target_ids, encoded,
+                                  projected_textual, projected_visual,
+                                  hidden, *, rng, deterministic):
+    """Teacher-forced unroll via the fused Pallas kernel pair
+    (ops/pallas_teacher_forced.py): forward and backward each run the whole
+    sequential decoder chain on-chip. Output-identical to the XLA scan path
+    (dropout uses a different — equally distributed — mask stream)."""
+    from multimodal_seq2seq_gscan_tpu.ops.pallas_decoder import (
+        pack_decoder_weights)
+    from multimodal_seq2seq_gscan_tpu.ops.pallas_teacher_forced import (
+        K_STEPS, fused_teacher_forced)
+
+    batch, num_steps = target_ids.shape
+    weights = pack_decoder_weights(params, config.target_pad_idx)
+    emb_dim = weights[6].shape[1]
+    t_pad = -(-num_steps // K_STEPS) * K_STEPS
+    tokens = jnp.swapaxes(target_ids, 0, 1).astype(jnp.int32)  # [T, B]
+    if t_pad != num_steps:
+        tokens = jnp.concatenate(
+            [tokens, jnp.full((t_pad - num_steps, batch),
+                              config.target_pad_idx, jnp.int32)])
+    if deterministic or rng is None or config.decoder_dropout_p == 0.0:
+        drop_mask = jnp.ones((t_pad, batch, emb_dim), jnp.float32)
+    else:
+        keep = 1.0 - config.decoder_dropout_p
+        drop_mask = jax.random.bernoulli(
+            rng, keep, (t_pad, batch, emb_dim)).astype(jnp.float32) / keep
+    # One full-batch block: the grid is sequential on a core, so batch
+    # sub-blocks would only serialize the latency-bound chain further.
+    block = batch
+    interpret = jax.default_backend() != "tpu"
+    logits, summed_attention = fused_teacher_forced(
+        projected_textual, encoded.command_mask, projected_visual,
+        hidden[0][0], hidden[1][0], tokens, drop_mask, weights,
+        num_steps, block, interpret)
+    logits = jnp.swapaxes(logits[:num_steps], 0, 1)  # [B, T, V]
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
     return log_probs, summed_attention
 
 

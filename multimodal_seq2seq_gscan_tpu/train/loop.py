@@ -140,7 +140,8 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
           k: int, max_training_examples=None, seed=42, mesh=None,
           max_testing_examples=None, evaluation_batch_size: int = 256,
           profile_dir: str = "", prefetch_depth: int = 3,
-          steps_per_execution: int = 50, **kwargs):
+          steps_per_execution: int = 50,
+          teacher_forced_impl: str = "xla", **kwargs):
     logger.info("Loading Training set...")
     training_set = GroundedScanDataset(
         data_path, data_directory, split="train",
@@ -196,6 +197,9 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
         decoder_dropout_p=decoder_dropout_p, cnn_dropout_p=cnn_dropout_p,
         conditional_attention=conditional_attention,
         auxiliary_task=auxiliary_task, attention_type=attention_type,
+        # The fused teacher-forced kernel is a single-chip program; under a
+        # mesh the XLA scan path (which XLA partitions) is used instead.
+        teacher_forced_impl=(teacher_forced_impl if mesh is None else "xla"),
         input_padding_idx=training_set.input_vocabulary.pad_idx,
         target_pad_idx=training_set.target_vocabulary.pad_idx,
         target_sos_idx=training_set.target_vocabulary.sos_idx,

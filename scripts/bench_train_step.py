@@ -46,7 +46,12 @@ def make_batch(batch_size, t_in, t_out, grid=6, channels=16, seed=0):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    parser.add_argument("--impl", default="xla", choices=["xla", "pallas"],
+                        help="attention implementation")
+    parser.add_argument("--teacher_forced", default="xla",
+                        choices=["xla", "pallas"],
+                        help="teacher-forced unroll implementation "
+                             "(pallas = fused whole-unroll kernel pair)")
     parser.add_argument("--batch_size", type=int, default=200)
     args = parser.parse_args()
 
@@ -60,21 +65,24 @@ def main():
         input_vocabulary_size=21, target_vocabulary_size=9,
         num_cnn_channels=16, embedding_dimension=25, encoder_hidden_size=100,
         decoder_hidden_size=100, cnn_kernel_size=7, cnn_hidden_num_channels=50,
-        attention_impl=args.impl)
+        attention_impl=args.impl, teacher_forced_impl=args.teacher_forced)
     optimizer = make_optimizer()
     state = create_train_state(jax.random.PRNGKey(0), config, optimizer)
     train_step = make_train_step(config, optimizer, donate=False)
 
-    print(f"impl={args.impl} batch={args.batch_size} "
-          f"backend={jax.default_backend()}")
+    print(f"impl={args.impl} teacher_forced={args.teacher_forced} "
+          f"batch={args.batch_size} backend={jax.default_backend()}")
     for t_out in (16, 24, 48, 104):
-        batch = make_batch(args.batch_size, t_in=16, t_out=t_out)
-        state, metrics = train_step(state, batch)  # compile
+        # Distinct batches, cycled: identical repeated dispatches undercount
+        # on the axon backend (PERFORMANCE.md round-2 correction).
+        batches = [make_batch(args.batch_size, t_in=16, t_out=t_out, seed=s)
+                   for s in range(4)]
+        state, metrics = train_step(state, batches[0])  # compile
         jax.block_until_ready(metrics["loss"])
-        n = 30
+        n = 40
         start = time.perf_counter()
-        for _ in range(n):
-            state, metrics = train_step(state, batch)
+        for i in range(n):
+            state, metrics = train_step(state, batches[i % len(batches)])
         jax.block_until_ready(metrics["loss"])
         dt = time.perf_counter() - start
         print(f"  t_out={t_out:4d}: {n / dt:7.1f} steps/s  "

@@ -102,6 +102,24 @@ def test_error_analysis_cli(trained_dir):
     assert os.path.exists(os.path.join(out_dir, "error_analysis.xls"))
 
 
+def test_cli_train_with_fused_teacher_forced(generated_dir, tmp_path):
+    """--teacher_forced_impl=pallas drives the fused kernel pair through the
+    whole CLI train loop (interpret mode on CPU)."""
+    out = str(tmp_path / "tf_pallas")
+    seq2seq_cli.main(_seq2seq_flags(
+        mode="train", data_directory=generated_dir,
+        output_directory=out, generate_vocabularies=True,
+        input_vocab_path="input_vocab.txt",
+        target_vocab_path="target_vocab.txt", training_batch_size=16,
+        max_training_iterations=2, print_every=1, evaluate_every=2,
+        max_decoding_steps=25, embedding_dimension=12,
+        encoder_hidden_size=16, decoder_hidden_size=16, cnn_kernel_size=3,
+        cnn_hidden_num_channels=8, max_testing_examples=8,
+        max_training_examples=32, test_batch_size=16, seed=1,
+        steps_per_execution=1, teacher_forced_impl="pallas"))
+    assert os.path.exists(os.path.join(out, "checkpoint.msgpack"))
+
+
 def test_position_analysis_cli(trained_dir):
     gscan_cli.main(_gscan_flags(
         mode="position_analysis",
