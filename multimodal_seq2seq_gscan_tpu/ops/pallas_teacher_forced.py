@@ -333,9 +333,14 @@ def _make_bwd_kernel(k_steps: int, num_steps: int, emb_dim: int, hidden: int):
             # visual attention backward (+ the auxiliary summed-attention
             # cotangent, masked for time padding)
             def bm_dot(vec, keys):  # [B,H],[B,M,H] -> [B,M]
+                # As a batched 1xH @ HxM matmul (MXU), NOT keys-major matvec:
+                # that form lowers to vector.multi_reduction, and Mosaic
+                # rejects the fused non-constant accumulator when the result
+                # is immediately added to (g_asum).
                 return jax.lax.dot_general(
-                    keys, vec, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)
+                    vec[:, None, :], keys,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)[:, 0, :]
 
             d_ctx_sit = dCs1 + dCs2
             d_wv = bm_dot(d_ctx_sit, proj_vis) + g_asum * valid
