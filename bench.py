@@ -163,7 +163,8 @@ def _exact_match(config, outs, target_lists):
 
 
 def main():
-    from multimodal_seq2seq_gscan_tpu.decode.greedy import make_greedy_decoder
+    from multimodal_seq2seq_gscan_tpu.decode.greedy import (
+        DEFAULT_DECODE_IMPL, make_greedy_decoder)
 
     try:
         workload = _real_workload()
@@ -183,8 +184,20 @@ def main():
 
     early_rate, outs = _time_decoder(early, params, batches, counts)
     fixed_rate, _ = _time_decoder(fixed, params, batches, counts)
-    _log("bench: early-exit {:.0f} ex/s, fixed-120 {:.0f} ex/s".format(
-        early_rate, fixed_rate))
+    _log("bench: [{}] early-exit {:.0f} ex/s, fixed-120 {:.0f} ex/s".format(
+        DEFAULT_DECODE_IMPL, early_rate, fixed_rate))
+    # Measure the non-default decoder-step implementation too, so BENCH and
+    # PERFORMANCE.md record both sides of the xla/pallas choice.
+    other_impl = "pallas" if DEFAULT_DECODE_IMPL == "xla" else "xla"
+    try:
+        other = make_greedy_decoder(config, MAX_DECODING_STEPS,
+                                    early_exit=True, decode_impl=other_impl)
+        other_rate, _ = _time_decoder(other, params, batches, counts)
+        _log("bench: [{}] early-exit {:.0f} ex/s".format(other_impl,
+                                                         other_rate))
+    except Exception as exc:
+        _log("bench: [{}] decoder failed ({}: {})".format(
+            other_impl, type(exc).__name__, exc))
     if target_lists is not None:
         _log("bench: dev exact match of decoded output: {:.2f}%".format(
             _exact_match(config, outs, target_lists)))

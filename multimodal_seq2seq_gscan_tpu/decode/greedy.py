@@ -13,7 +13,7 @@ EOS semantics mirror the reference exactly:
 """
 
 from functools import lru_cache
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,11 +46,17 @@ class GreedyDecodeOutput(NamedTuple):
     position_accuracy: jax.Array
 
 
+# The shipped default decoder-step implementation ("xla" or "pallas"): what
+# evaluation (decode/predict.py) and the bench headline actually run. Chosen
+# from measured TPU numbers in documentation/PERFORMANCE.md.
+DEFAULT_DECODE_IMPL = "xla"
+
+
 @lru_cache(maxsize=8)
 def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
                         early_exit: bool = True, mesh=None,
                         exit_check_every: int = 8,
-                        decode_impl: str = "xla"):
+                        decode_impl: Optional[str] = None):
     """Build a jitted batched greedy decoder.
 
     Memoized on (config, max_decoding_steps, early_exit, mesh,
@@ -76,6 +82,8 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
     """
     num_steps = max_decoding_steps + 1  # reference loops while iter <= max.
 
+    if decode_impl is None:
+        decode_impl = DEFAULT_DECODE_IMPL
     use_pallas = decode_impl == "pallas"
     if use_pallas and (mesh is not None or config.num_decoder_layers != 1
                        or not config.conditional_attention):

@@ -56,6 +56,12 @@ def main():
     args = parser.parse_args()
 
     import jax
+    # Persistent compile cache: the fused teacher-forced kernels take minutes
+    # of AOT compile per bucket length; warm once (scripts/warm_compile_tf.py)
+    # and every later run loads from cache.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_gscan")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     from multimodal_seq2seq_gscan_tpu.models import ModelConfig
     from multimodal_seq2seq_gscan_tpu.train.state import (
         create_train_state, make_optimizer)
