@@ -76,7 +76,11 @@ def _make_kernel(num_steps: int, sos_idx: int, eos_idx: int):
         blk = h.shape[0]
 
         vocab_iota = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
-        for t in range(num_steps):
+
+        # fori_loop, not a trace-time unroll: unrolled steps blow up the
+        # Mosaic program and AOT compile time (see pallas_teacher_forced.py).
+        def step(t, carry):
+            tokens, done, h, c = carry
             # Embedding lookup as a one-hot matmul (vocab is ~10 tokens; a
             # gather would be a strided DMA, the matmul stays on the MXU).
             onehot = (tokens == vocab_iota).astype(jnp.float32)   # [Bb, V]
@@ -123,11 +127,14 @@ def _make_kernel(num_steps: int, sos_idx: int, eos_idx: int):
             done = jnp.maximum(
                 done, (next_tokens == eos_idx).astype(jnp.float32))
 
-            step_tokens_ref[t, :] = tokens_out.reshape(blk)
-            step_emitted_ref[t, :] = emitting.reshape(blk)
-            step_attn_cmd_ref[t] = attn_cmd
-            step_attn_sit_ref[t] = attn_sit
+            step_tokens_ref[pl.ds(t, 1), :] = tokens_out.reshape(1, blk)
+            step_emitted_ref[pl.ds(t, 1), :] = emitting.reshape(1, blk)
+            step_attn_cmd_ref[pl.ds(t, 1)] = attn_cmd[None]
+            step_attn_sit_ref[pl.ds(t, 1)] = attn_sit[None]
+            return tokens, done, h, c
 
+        tokens, done, h, c = jax.lax.fori_loop(
+            0, num_steps, step, (tokens, done, h, c))
         h_out_ref[:] = h
         c_out_ref[:] = c
         tokens_out_ref[:] = tokens

@@ -96,21 +96,27 @@ def _make_fwd_kernel(k_steps: int, num_steps: int):
         proj_txt = proj_txt_ref[:]
         cmd_mask = cmd_mask_ref[:]
         proj_vis = proj_vis_ref[:]
-        h = h_scr[:]
-        c = c_scr[:]
-        asum = asum_scr[:]
         base = t_blk * k_steps
-        for k in range(k_steps):
-            h_res_ref[k] = h
-            c_res_ref[k] = c
+
+        # fori_loop, not a trace-time unroll: K unrolled steps make the
+        # Mosaic program large enough that AOT compilation takes minutes
+        # (and can OOM the compile helper); one step's code with dynamic
+        # K-axis indexing compiles in seconds at identical runtime.
+        def step(k, carry):
+            h, c, asum = carry
+            h_res_ref[pl.ds(k, 1)] = h[None]
+            c_res_ref[pl.ds(k, 1)] = c[None]
             logits, h, c, attn_sit = _step_forward(
-                tokens_ref[k], drop_ref[k], h, c,
+                tokens_ref[pl.ds(k, 1)][0], drop_ref[pl.ds(k, 1)][0], h, c,
                 proj_txt, cmd_mask, proj_vis, w)
-            logits_ref[k] = logits
+            logits_ref[pl.ds(k, 1)] = logits[None]
             # Time-padded steps run (their tokens are pad) but must not
             # pollute the auxiliary attention sum.
             valid = (base + k < num_steps).astype(jnp.float32)
-            asum = asum + attn_sit * valid
+            return h, c, asum + attn_sit * valid
+
+        h, c, asum = jax.lax.fori_loop(
+            0, k_steps, step, (h_scr[:], c_scr[:], asum_scr[:]))
         h_scr[:] = h
         c_scr[:] = c
         asum_scr[:] = asum
@@ -221,19 +227,21 @@ def _make_bwd_kernel(k_steps: int, num_steps: int, emb_dim: int, hidden: int):
         vocab = emb.shape[0]
         vocab_iota = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
 
-        dh = dh_scr[:]
-        dc = dc_scr[:]
-        d_proj_txt = jnp.zeros_like(proj_txt)
-        d_proj_vis = jnp.zeros_like(proj_vis)
-        dw_acc = [jnp.zeros(r.shape, jnp.float32) for r in dw_refs]
+        carry0 = (dh_scr[:], dc_scr[:], jnp.zeros_like(proj_txt),
+                  jnp.zeros_like(proj_vis),
+                  tuple(jnp.zeros(r.shape, jnp.float32) for r in dw_refs))
         base = t_logical * k_steps
 
-        for k in reversed(range(k_steps)):
-            tokens = tokens_ref[k]
-            drop = drop_ref[k]
-            h = h_res_ref[k]
-            c = c_res_ref[k]
-            dlog = dlog_ref[k]
+        # Reverse fori_loop for the same compile-size reason as the forward
+        # kernel: one step's code, dynamic K-axis indexing.
+        def step(i, carry):
+            dh, dc, d_proj_txt, d_proj_vis, dw_acc = carry
+            k = k_steps - 1 - i
+            tokens = tokens_ref[pl.ds(k, 1)][0]
+            drop = drop_ref[pl.ds(k, 1)][0]
+            h = h_res_ref[pl.ds(k, 1)][0]
+            c = c_res_ref[pl.ds(k, 1)][0]
+            dlog = dlog_ref[pl.ds(k, 1)][0]
             valid = (base + k < num_steps).astype(jnp.float32)
 
             # ---- recompute the forward internals of step (base + k) ----
@@ -388,11 +396,14 @@ def _make_bwd_kernel(k_steps: int, num_steps: int, emb_dim: int, hidden: int):
 
             dh = dh_lstm + dh_joint + dh_txt
             dc = dc_prev
-            dw_acc = [acc + dwk for acc, dwk in zip(
-                dw_acc, [d_txt_qw, d_txt_ew, d_q2k_w, d_q2k_b, d_vis_qw,
+            dw_acc = tuple(acc + dwk for acc, dwk in zip(
+                dw_acc, (d_txt_qw, d_txt_ew, d_q2k_w, d_q2k_b, d_vis_qw,
                          d_vis_ew, d_emb, d_w_ih_t, d_w_hh_t, d_bias,
-                         d_out_w, d_out_proj])]
+                         d_out_w, d_out_proj)))
+            return dh, dc, d_proj_txt, d_proj_vis, dw_acc
 
+        dh, dc, d_proj_txt, d_proj_vis, dw_acc = jax.lax.fori_loop(
+            0, k_steps, step, carry0)
         dh_scr[:] = dh
         dc_scr[:] = dc
 
