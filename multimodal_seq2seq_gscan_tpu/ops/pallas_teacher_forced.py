@@ -215,10 +215,21 @@ def _make_bwd_kernel(k_steps: int, num_steps: int, emb_dim: int, hidden: int):
         n_t = pl.num_programs(1)
         t_logical = n_t - 1 - t_phys
 
-        @pl.when(t_phys == 0)
+        first_t = t_phys == 0
+        first_all = jnp.logical_and(pl.program_id(0) == 0, first_t)
+
+        @pl.when(first_t)
         def _():
             dh_scr[:] = jnp.zeros_like(dh_scr)
             dc_scr[:] = jnp.zeros_like(dc_scr)
+            # d_proj accumulators restart with every batch block.
+            d_proj_txt_ref[:] = jnp.zeros_like(d_proj_txt_ref)
+            d_proj_vis_ref[:] = jnp.zeros_like(d_proj_vis_ref)
+
+        @pl.when(first_all)
+        def _():
+            for ref in dw_refs:
+                ref[:] = jnp.zeros_like(ref)
 
         proj_txt = proj_txt_ref[:]
         cmd_mask = cmd_mask_ref[:]
@@ -226,16 +237,15 @@ def _make_bwd_kernel(k_steps: int, num_steps: int, emb_dim: int, hidden: int):
         g_asum = g_asum_ref[:]
         vocab = emb.shape[0]
         vocab_iota = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
-
-        carry0 = (dh_scr[:], dc_scr[:], jnp.zeros_like(proj_txt),
-                  jnp.zeros_like(proj_vis),
-                  tuple(jnp.zeros(r.shape, jnp.float32) for r in dw_refs))
         base = t_logical * k_steps
 
         # Reverse fori_loop for the same compile-size reason as the forward
-        # kernel: one step's code, dynamic K-axis indexing.
+        # kernel: one step's code, dynamic K-axis indexing. Weight and
+        # attention-key gradients accumulate straight into the (revisited)
+        # output refs — keeping them out of the loop carry keeps the carry
+        # small, which Mosaic compiles far faster.
         def step(i, carry):
-            dh, dc, d_proj_txt, d_proj_vis, dw_acc = carry
+            dh, dc = carry
             k = k_steps - 1 - i
             tokens = tokens_ref[pl.ds(k, 1)][0]
             drop = drop_ref[pl.ds(k, 1)][0]
@@ -362,7 +372,7 @@ def _make_bwd_kernel(k_steps: int, num_steps: int, emb_dim: int, hidden: int):
             d_vis_ew = jnp.sum(hidden_v * d_scores_v[:, :, None],
                                axis=(0, 1))[:, None]
             d_pq_vis = jnp.sum(d_pre_v, axis=1)
-            d_proj_vis = d_proj_vis + d_pv + d_pre_v
+            d_proj_vis_ref[:] = d_proj_vis_ref[:] + d_pv + d_pre_v
             d_vq = jnp.dot(d_pq_vis, vis_qw_t,
                            preferred_element_type=jnp.float32)
             d_vis_qw = t_dot(vq, d_pq_vis)
@@ -385,7 +395,7 @@ def _make_bwd_kernel(k_steps: int, num_steps: int, emb_dim: int, hidden: int):
             d_txt_ew = jnp.sum(hidden_t * d_scores_t[:, :, None],
                                axis=(0, 1))[:, None]
             d_pq_txt = jnp.sum(d_pre_t, axis=1)
-            d_proj_txt = d_proj_txt + d_pt + d_pre_t
+            d_proj_txt_ref[:] = d_proj_txt_ref[:] + d_pt + d_pre_t
             dh_txt = jnp.dot(d_pq_txt, txt_qw_t,
                              preferred_element_type=jnp.float32)
             d_txt_qw = t_dot(h, d_pq_txt)
@@ -396,43 +406,22 @@ def _make_bwd_kernel(k_steps: int, num_steps: int, emb_dim: int, hidden: int):
 
             dh = dh_lstm + dh_joint + dh_txt
             dc = dc_prev
-            dw_acc = tuple(acc + dwk for acc, dwk in zip(
-                dw_acc, (d_txt_qw, d_txt_ew, d_q2k_w, d_q2k_b, d_vis_qw,
-                         d_vis_ew, d_emb, d_w_ih_t, d_w_hh_t, d_bias,
-                         d_out_w, d_out_proj)))
-            return dh, dc, d_proj_txt, d_proj_vis, dw_acc
+            for ref, dwk in zip(dw_refs,
+                                (d_txt_qw, d_txt_ew, d_q2k_w, d_q2k_b,
+                                 d_vis_qw, d_vis_ew, d_emb, d_w_ih_t,
+                                 d_w_hh_t, d_bias, d_out_w, d_out_proj)):
+                ref[:] = ref[:] + dwk
+            return dh, dc
 
-        dh, dc, d_proj_txt, d_proj_vis, dw_acc = jax.lax.fori_loop(
-            0, k_steps, step, carry0)
+        dh, dc = jax.lax.fori_loop(0, k_steps, step,
+                                   (dh_scr[:], dc_scr[:]))
         dh_scr[:] = dh
         dc_scr[:] = dc
-
-        first_t = t_phys == 0
-
-        @pl.when(first_t)
-        def _():
-            d_proj_txt_ref[:] = d_proj_txt
-            d_proj_vis_ref[:] = d_proj_vis
-
-        @pl.when(jnp.logical_not(first_t))
-        def _():
-            d_proj_txt_ref[:] = d_proj_txt_ref[:] + d_proj_txt
-            d_proj_vis_ref[:] = d_proj_vis_ref[:] + d_proj_vis
 
         @pl.when(t_phys == n_t - 1)
         def _():
             dh0_ref[:] = dh_scr[:]
             dc0_ref[:] = dc_scr[:]
-
-        first_all = jnp.logical_and(pl.program_id(0) == 0, first_t)
-        for ref, acc in zip(dw_refs, dw_acc):
-            @pl.when(first_all)
-            def _(ref=ref, acc=acc):
-                ref[:] = acc
-
-            @pl.when(jnp.logical_not(first_all))
-            def _(ref=ref, acc=acc):
-                ref[:] = ref[:] + acc
 
     return kernel
 
