@@ -225,6 +225,27 @@ def decode_teacher_forced(params: ModelParams, config: ModelConfig,
     return log_probs, summed_attention
 
 
+def _fused_batch_block(batch: int, cap: int = 104) -> Tuple[int, int]:
+    """(block, padded_batch) for the fused teacher-forced kernels.
+
+    One full-batch block is ideal (the grid is sequential, so batch blocks
+    serialize), but the kernel's VMEM footprint scales with the block: at
+    block 200 the forward needs 21.75 MiB vs the 16 MiB scoped limit
+    (measured via AOT compile), while <= ~104 rows fit comfortably for both
+    kernels. Mosaic also requires the block row count be divisible by 8
+    unless it equals the full batch.
+    """
+    if batch <= cap:
+        return batch, batch
+    best = None
+    for block in range(cap - cap % 8, 7, -8):
+        padded = -(-batch // block) * block
+        key = (padded // block, padded)
+        if best is None or key < best[0]:
+            best = (key, block, padded)
+    return best[1], best[2]
+
+
 def _decode_teacher_forced_pallas(params, config, target_ids, encoded,
                                   projected_textual, projected_visual,
                                   hidden, *, rng, deterministic):
@@ -252,17 +273,34 @@ def _decode_teacher_forced_pallas(params, config, target_ids, encoded,
         keep = 1.0 - config.decoder_dropout_p
         drop_mask = jax.random.bernoulli(
             rng, keep, (t_pad, batch, emb_dim)).astype(jnp.float32) / keep
-    # One full-batch block: the grid is sequential on a core, so batch
-    # sub-blocks would only serialize the latency-bound chain further.
-    block = batch
+    block, padded_batch = _fused_batch_block(batch)
+    if padded_batch != batch:
+        extra = padded_batch - batch
+
+        def pad_rows(x):
+            widths = ((0, extra),) + ((0, 0),) * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        proj_txt_p = pad_rows(projected_textual)
+        cmd_mask_p = pad_rows(encoded.command_mask)
+        proj_vis_p = pad_rows(projected_visual)
+        h0_p = pad_rows(hidden[0][0])
+        c0_p = pad_rows(hidden[1][0])
+        tokens = jnp.pad(tokens, ((0, 0), (0, extra)),
+                         constant_values=config.target_pad_idx)
+        drop_mask = jnp.pad(drop_mask, ((0, 0), (0, extra), (0, 0)),
+                            constant_values=1.0)
+    else:
+        proj_txt_p, cmd_mask_p, proj_vis_p = (
+            projected_textual, encoded.command_mask, projected_visual)
+        h0_p, c0_p = hidden[0][0], hidden[1][0]
     interpret = jax.default_backend() != "tpu"
     logits, summed_attention = fused_teacher_forced(
-        projected_textual, encoded.command_mask, projected_visual,
-        hidden[0][0], hidden[1][0], tokens, drop_mask, weights,
-        num_steps, block, interpret)
-    logits = jnp.swapaxes(logits[:num_steps], 0, 1)  # [B, T, V]
+        proj_txt_p, cmd_mask_p, proj_vis_p, h0_p, c0_p, tokens, drop_mask,
+        weights, num_steps, block, interpret)
+    logits = jnp.swapaxes(logits[:num_steps, :batch], 0, 1)  # [B, T, V]
     log_probs = jax.nn.log_softmax(logits, axis=-1)
-    return log_probs, summed_attention
+    return log_probs, summed_attention[:batch]
 
 
 def forward(params: ModelParams, config: ModelConfig, command_ids, command_lengths,

@@ -6,9 +6,11 @@ steps_per_execution — every op in the chain is tiny, so XLA's per-op latency
 on the sequential critical path dominates, not FLOPs).  These kernels run the
 whole teacher-forced unroll (reference seq2seq/model.py:372-495's per-step
 loop) on-chip: grid = (batch blocks, time blocks); the LSTM state is carried
-across time blocks in VMEM scratch, K steps per block are unrolled at trace
-time, and the backward kernel walks the time blocks in reverse, accumulating
-weight gradients in revisited VMEM output buffers.
+across time blocks in VMEM scratch, each block runs K steps in an in-kernel
+fori_loop (a trace-time unroll made Mosaic AOT compilation take minutes), and
+the backward kernel walks the time blocks in reverse, accumulating weight
+gradients directly into revisited VMEM output buffers (keeping them out of
+the loop carry — large carries also explode Mosaic compile time).
 
 The pair is wired into ``jax.custom_vjp``: the forward stashes the pre-step
 (h, c) per timestep as residuals; the backward recomputes each step's

@@ -152,3 +152,57 @@ def test_model_forward_and_loss_grads_match(setup):
     for gx, gp in zip(flat_x, flat_p):
         np.testing.assert_allclose(np.asarray(gx), np.asarray(gp),
                                    rtol=3e-4, atol=3e-5)
+
+
+def test_fused_batch_block_chooser():
+    """Block <= cap, divisible by 8 (or the whole batch), minimal grid then
+    minimal padding; flagship batch 200 must land on 104/208 (2 blocks)."""
+    from multimodal_seq2seq_gscan_tpu.models.model import _fused_batch_block
+
+    assert _fused_batch_block(6) == (6, 6)        # small batch: one block
+    assert _fused_batch_block(104) == (104, 104)  # exactly the cap
+    assert _fused_batch_block(200) == (104, 208)  # flagship: 2 blocks, +8 pad
+    for batch in (13, 30, 111, 200, 512, 4096):
+        block, padded = _fused_batch_block(batch)
+        assert padded >= batch and padded % block == 0
+        assert block == padded or block % 8 == 0
+        assert block <= 104
+
+
+def test_padded_batch_path_matches_scan(setup, monkeypatch):
+    """Force the batch-padding branch (block < batch) on the end-to-end model
+    path: loss and parameter gradients must still equal the XLA scan path."""
+    import multimodal_seq2seq_gscan_tpu.models.model as model_mod
+    from multimodal_seq2seq_gscan_tpu.models.model import forward, get_loss
+
+    monkeypatch.setattr(model_mod, "_fused_batch_block", lambda batch: (4, 8))
+
+    config, _ = setup
+    params = init_model_params(jax.random.PRNGKey(9), config)
+    rng = np.random.RandomState(11)
+    input_ids = jnp.asarray(rng.randint(1, V_IN, size=(BATCH, T_IN)),
+                            jnp.int32)
+    input_lengths = jnp.full((BATCH,), T_IN, jnp.int32)
+    situations = jnp.asarray(rng.rand(BATCH, GRID, GRID, CH), jnp.float32)
+    targets = np.zeros((BATCH, 13), np.int32)
+    for i in range(BATCH):
+        n = rng.randint(4, 12)
+        targets[i, 0] = 1
+        targets[i, 1:n - 1] = rng.randint(3, 9, size=n - 2)
+        targets[i, n - 1] = 2
+    targets = jnp.asarray(targets)
+    cfg_pallas = config._replace(teacher_forced_impl="pallas")
+
+    def loss_for(cfg):
+        def loss(p):
+            log_probs, _ = forward(p, cfg, input_ids, input_lengths,
+                                   situations, targets, deterministic=True)
+            return get_loss(cfg, log_probs, targets)
+        return loss
+
+    loss_x, grads_x = jax.value_and_grad(loss_for(config))(params)
+    loss_p, grads_p = jax.value_and_grad(loss_for(cfg_pallas))(params)
+    np.testing.assert_allclose(float(loss_x), float(loss_p), rtol=1e-5)
+    for gx, gp in zip(jax.tree.leaves(grads_x), jax.tree.leaves(grads_p)):
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gp),
+                                   rtol=3e-4, atol=3e-5)
