@@ -225,25 +225,25 @@ def decode_teacher_forced(params: ModelParams, config: ModelConfig,
     return log_probs, summed_attention
 
 
-def _fused_batch_block(batch: int, cap: int = 104) -> Tuple[int, int]:
-    """(block, padded_batch) for the fused teacher-forced kernels.
+def _fused_batch_block(batch: int) -> Tuple[int, int, int]:
+    """(fwd_block, bwd_block, padded_batch) for the fused teacher-forced
+    kernels.
 
-    One full-batch block is ideal (the grid is sequential, so batch blocks
-    serialize), but the kernel's VMEM footprint scales with the block: at
-    block 200 the forward needs 21.75 MiB vs the 16 MiB scoped limit
-    (measured via AOT compile), while <= ~104 rows fit comfortably for both
-    kernels. Mosaic also requires the block row count be divisible by 8
-    unless it equals the full batch.
+    One full-batch block would be ideal (the grid is sequential, so batch
+    blocks serialize), but each kernel's VMEM footprint scales with the
+    block and the backward holds roughly 2x the forward per row (weights +
+    transposes + 12 gradient refs).  Measured VMEM limits at the flagship
+    shapes (16 MiB scoped limit, AOT compile): forward OOMs at 200 rows
+    (21.75 MiB) and fits at 112; backward OOMs at 72 (16.32 MiB) and fits
+    at 64.  Mosaic also requires non-full blocks be divisible by 8, so pad
+    the batch to a multiple of 56 and use 112/56 blocks (or one full block
+    each when the batch is small enough).
     """
-    if batch <= cap:
-        return batch, batch
-    best = None
-    for block in range(cap - cap % 8, 7, -8):
-        padded = -(-batch // block) * block
-        key = (padded // block, padded)
-        if best is None or key < best[0]:
-            best = (key, block, padded)
-    return best[1], best[2]
+    if batch <= 64:
+        return batch, batch, batch
+    padded = -(-batch // 56) * 56
+    fwd = 112 if padded % 112 == 0 else 56
+    return fwd, 56, padded
 
 
 def _decode_teacher_forced_pallas(params, config, target_ids, encoded,
@@ -273,7 +273,7 @@ def _decode_teacher_forced_pallas(params, config, target_ids, encoded,
         keep = 1.0 - config.decoder_dropout_p
         drop_mask = jax.random.bernoulli(
             rng, keep, (t_pad, batch, emb_dim)).astype(jnp.float32) / keep
-    block, padded_batch = _fused_batch_block(batch)
+    block, block_bwd, padded_batch = _fused_batch_block(batch)
     if padded_batch != batch:
         extra = padded_batch - batch
 
@@ -297,7 +297,7 @@ def _decode_teacher_forced_pallas(params, config, target_ids, encoded,
     interpret = jax.default_backend() != "tpu"
     logits, summed_attention = fused_teacher_forced(
         proj_txt_p, cmd_mask_p, proj_vis_p, h0_p, c0_p, tokens, drop_mask,
-        weights, num_steps, block, interpret)
+        weights, num_steps, block, interpret, block_bwd)
     logits = jnp.swapaxes(logits[:num_steps, :batch], 0, 1)  # [B, T, V]
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     return log_probs, summed_attention[:batch]

@@ -150,7 +150,7 @@ def fused_decode_block(proj_textual: jax.Array, cmd_mask: jax.Array,
                        proj_visual: jax.Array, h: jax.Array, c: jax.Array,
                        tokens: jax.Array, done: jax.Array,
                        weights: Tuple[jax.Array, ...], *, num_steps: int,
-                       sos_idx: int, eos_idx: int, block_b: int = 256,
+                       sos_idx: int, eos_idx: int, block_b: int = 128,
                        interpret: bool = False):
     """Run ``num_steps`` fused greedy-decoder steps.
 
@@ -164,6 +164,9 @@ def fused_decode_block(proj_textual: jax.Array, cmd_mask: jax.Array,
     """
     batch, m_t, hidden = proj_textual.shape
     m_v = proj_visual.shape[1]
+    # Default 128: at the flagship shapes a 256-row block needs 18.04 MiB of
+    # scoped VMEM vs the 16 MiB limit (measured via AOT compile @ batch 4096);
+    # 128 rows fit with headroom.
     block = min(block_b, batch)
     grid = (pl.cdiv(batch, block),)
     tokens2 = tokens.astype(jnp.int32)[:, None]

@@ -362,14 +362,32 @@ def _make_bwd_kernel(k_steps: int, num_steps: int, emb_dim: int, hidden: int):
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)[:, 0, :]
 
+            def outer_bmh(a_bm, b_bh):  # [B,M],[B,H] -> [B,M,H]
+                # Batched Mx1 @ 1xH outer product on the MXU. The elementwise
+                # form a[:, :, None] * b[:, None, :] (BOTH operands broadcast)
+                # sends Mosaic's layout inference into a multi-minute stall —
+                # isolated by compiling kernel variants with/without it.
+                return jax.lax.dot_general(
+                    a_bm[:, :, None], b_bh[:, None, :],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+
+            def scale_rows(a_bm, vec_h):  # [B,M],[H] -> [B,M,H]
+                # Same outer-product stall applies to a[:, :, None] * v[1,1,H];
+                # broadcast the vector to [B,H] (cheap, single-broadcast) and
+                # reuse the batched outer. A flat (B*M,1)@(1,H) matmul is NOT
+                # an option: reshaping [B,M] to [B*M,1] moves the lane dim,
+                # which Mosaic rejects ("unsupported shape cast").
+                b_bh = jnp.broadcast_to(vec_h[None, :],
+                                        (a_bm.shape[0], vec_h.shape[0]))
+                return outer_bmh(a_bm, b_bh)
+
             d_ctx_sit = dCs1 + dCs2
             d_wv = bm_dot(d_ctx_sit, proj_vis) + g_asum * valid
-            d_pv = w_v[:, :, None] * d_ctx_sit[:, None, :]
+            d_pv = outer_bmh(w_v, d_ctx_sit)
             inner_v = jnp.sum(w_v * d_wv, axis=-1, keepdims=True)
             d_scores_v = w_v * (d_wv - inner_v)
-            # reshape, not [None, None, :, 0]: that indexing lowers to a
-            # gather Mosaic can't express
-            d_hidden_v = d_scores_v[:, :, None] * vis_ew.reshape(1, 1, -1)
+            d_hidden_v = scale_rows(d_scores_v, vis_ew[:, 0])
             d_pre_v = d_hidden_v * (1.0 - hidden_v * hidden_v)
             d_vis_ew = jnp.sum(hidden_v * d_scores_v[:, :, None],
                                axis=(0, 1))[:, None]
@@ -389,10 +407,10 @@ def _make_bwd_kernel(k_steps: int, num_steps: int, emb_dim: int, hidden: int):
             # textual attention backward (masked rows have w_t exactly 0)
             d_ctx_cmd = dCc1 + dCc2 + dCc3
             d_wt = bm_dot(d_ctx_cmd, proj_txt)
-            d_pt = w_t[:, :, None] * d_ctx_cmd[:, None, :]
+            d_pt = outer_bmh(w_t, d_ctx_cmd)
             inner_t = jnp.sum(w_t * d_wt, axis=-1, keepdims=True)
             d_scores_t = w_t * (d_wt - inner_t)
-            d_hidden_t = d_scores_t[:, :, None] * txt_ew.reshape(1, 1, -1)
+            d_hidden_t = scale_rows(d_scores_t, txt_ew[:, 0])
             d_pre_t = d_hidden_t * (1.0 - hidden_t * hidden_t)
             d_txt_ew = jnp.sum(hidden_t * d_scores_t[:, :, None],
                                axis=(0, 1))[:, None]
@@ -486,10 +504,11 @@ def _backward_impl(proj_textual, cmd_mask, proj_visual, tokens, drop_mask,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def fused_teacher_forced(proj_textual, cmd_mask, proj_visual, h0, c0,
                          tokens, drop_mask, weights, num_steps: int,
-                         block_b: int = 128, interpret: bool = False):
+                         block_b: int = 112, interpret: bool = False,
+                         block_b_bwd: int = None):
     """Fused teacher-forced unroll with a fused backward.
 
     proj_textual: [B, M_t, H]; cmd_mask: [B, M_t]; proj_visual: [B, M_v, H];
@@ -497,6 +516,12 @@ def fused_teacher_forced(proj_textual, cmd_mask, proj_visual, h0, c0,
     to a multiple of K_STEPS with pad tokens); drop_mask: [T_pad, B, E]
     (embedded-token dropout mask, ones when deterministic); weights: tuple
     from pallas_decoder.pack_decoder_weights.
+
+    ``block_b`` is the forward batch block; ``block_b_bwd`` (default: same)
+    the backward one — the backward kernel holds ~2x the VMEM per row
+    (weights + their transposes + 12 gradient refs), so its safe block is
+    roughly half the forward's (measured at the flagship shapes: forward
+    fits at 112 rows, backward at 64 but not 72).
 
     Returns (logits [T_pad, B, V] — entries at t >= num_steps are garbage and
     must be sliced off by the caller — and summed_attention [B, M_v] over the
@@ -509,7 +534,8 @@ def fused_teacher_forced(proj_textual, cmd_mask, proj_visual, h0, c0,
 
 
 def _fused_fwd(proj_textual, cmd_mask, proj_visual, h0, c0, tokens,
-               drop_mask, weights, num_steps, block_b, interpret):
+               drop_mask, weights, num_steps, block_b, interpret,
+               block_b_bwd):
     logits, h_res, c_res, asum = _forward_impl(
         proj_textual, cmd_mask, proj_visual, h0, c0, tokens, drop_mask,
         weights, num_steps, block_b, interpret)
@@ -518,7 +544,8 @@ def _fused_fwd(proj_textual, cmd_mask, proj_visual, h0, c0, tokens,
     return (logits, asum), residuals
 
 
-def _fused_bwd(num_steps, block_b, interpret, residuals, cotangents):
+def _fused_bwd(num_steps, block_b, interpret, block_b_bwd, residuals,
+               cotangents):
     (proj_textual, cmd_mask, proj_visual, tokens, drop_mask, weights,
      h_res, c_res) = residuals
     dlogits, g_asum = cotangents
@@ -531,7 +558,8 @@ def _fused_bwd(num_steps, block_b, interpret, residuals, cotangents):
             [dlogits, jnp.zeros((pad,) + dlogits.shape[1:], dlogits.dtype)])
     d_proj_txt, d_proj_vis, dh0, dc0, dweights = _backward_impl(
         proj_textual, cmd_mask, proj_visual, tokens, drop_mask, weights,
-        h_res, c_res, dlogits, g_asum, num_steps, block_b, interpret)
+        h_res, c_res, dlogits, g_asum, num_steps,
+        block_b if block_b_bwd is None else block_b_bwd, interpret)
     import numpy as np
     d_tokens = np.zeros(tokens.shape, dtype=jax.dtypes.float0)
     return (d_proj_txt, jnp.zeros_like(cmd_mask), d_proj_vis, dh0, dc0,

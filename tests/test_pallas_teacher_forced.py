@@ -155,18 +155,20 @@ def test_model_forward_and_loss_grads_match(setup):
 
 
 def test_fused_batch_block_chooser():
-    """Block <= cap, divisible by 8 (or the whole batch), minimal grid then
-    minimal padding; flagship batch 200 must land on 104/208 (2 blocks)."""
+    """Forward block <= 112, backward <= 64 (measured VMEM caps), each
+    divisible by 8 unless it spans the whole (padded) batch; flagship batch
+    200 lands on fwd 112 / bwd 56 over a 224-row padded batch."""
     from multimodal_seq2seq_gscan_tpu.models.model import _fused_batch_block
 
-    assert _fused_batch_block(6) == (6, 6)        # small batch: one block
-    assert _fused_batch_block(104) == (104, 104)  # exactly the cap
-    assert _fused_batch_block(200) == (104, 208)  # flagship: 2 blocks, +8 pad
+    assert _fused_batch_block(6) == (6, 6, 6)      # small batch: one block
+    assert _fused_batch_block(64) == (64, 64, 64)  # bwd full-block limit
+    assert _fused_batch_block(200) == (112, 56, 224)  # flagship
     for batch in (13, 30, 111, 200, 512, 4096):
-        block, padded = _fused_batch_block(batch)
-        assert padded >= batch and padded % block == 0
-        assert block == padded or block % 8 == 0
-        assert block <= 104
+        fwd, bwd, padded = _fused_batch_block(batch)
+        assert padded >= batch and padded % fwd == 0 and padded % bwd == 0
+        assert fwd == padded or fwd % 8 == 0
+        assert bwd == padded or bwd % 8 == 0
+        assert fwd <= 112 and bwd <= 64
 
 
 def test_padded_batch_path_matches_scan(setup, monkeypatch):
@@ -175,7 +177,8 @@ def test_padded_batch_path_matches_scan(setup, monkeypatch):
     import multimodal_seq2seq_gscan_tpu.models.model as model_mod
     from multimodal_seq2seq_gscan_tpu.models.model import forward, get_loss
 
-    monkeypatch.setattr(model_mod, "_fused_batch_block", lambda batch: (4, 8))
+    monkeypatch.setattr(model_mod, "_fused_batch_block",
+                        lambda batch: (4, 2, 8))
 
     config, _ = setup
     params = init_model_params(jax.random.PRNGKey(9), config)
