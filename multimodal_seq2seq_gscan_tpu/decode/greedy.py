@@ -280,7 +280,15 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
             in_shardings=(replicated,) + (data_sharded,) * 4,
             out_shardings=GreedyDecodeOutput(
                 *([data_sharded] * len(GreedyDecodeOutput._fields))))
-    return jax.jit(greedy_decode)
+    compiler_options = None
+    if use_pallas and jax.default_backend() == "tpu":
+        # At batch 4096 the fused kernel plus the while-body's loop-carried
+        # state and K-step output buffers need ~20 MiB of scoped VMEM
+        # (measured via AOT compile) vs the 16 MiB default limit; v5e has
+        # 128 MiB of VMEM, so raise the per-program limit instead of
+        # shrinking the kernel's batch block below its sweet spot.
+        compiler_options = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    return jax.jit(greedy_decode, compiler_options=compiler_options)
 
 
 def strip_output_sequences(output: GreedyDecodeOutput, eos_idx: int

@@ -229,17 +229,19 @@ def _fused_batch_block(batch: int) -> Tuple[int, int, int]:
     """(fwd_block, bwd_block, padded_batch) for the fused teacher-forced
     kernels.
 
-    One full-batch block would be ideal (the grid is sequential, so batch
-    blocks serialize), but each kernel's VMEM footprint scales with the
-    block and the backward holds roughly 2x the forward per row (weights +
-    transposes + 12 gradient refs).  Measured VMEM limits at the flagship
-    shapes (16 MiB scoped limit, AOT compile): forward OOMs at 200 rows
-    (21.75 MiB) and fits at 112; backward OOMs at 72 (16.32 MiB) and fits
-    at 64.  Mosaic also requires non-full blocks be divisible by 8, so pad
-    the batch to a multiple of 56 and use 112/56 blocks (or one full block
-    each when the batch is small enough).
+    One full-batch block is ideal (the grid is sequential, so batch blocks
+    serialize), and with the scoped-VMEM limit raised to 64 MiB
+    (`SCOPED_VMEM_LIMIT_KIB`, passed as a per-program compiler option by
+    `train/step.py`) the flagship batch of 200 compiles as one block for
+    BOTH kernels (measured via chipless AOT compile at t_out=104: the
+    forward needs 21.75 MiB at 200 rows, the backward roughly 2x per row —
+    weights + transposes + 12 gradient refs — and both fit under 64 MiB).
+    Beyond 200 rows the backward is unmeasured, so larger batches fall back
+    to serialized 112/56 blocks (measured safe under the DEFAULT 16 MiB
+    limit) over a padded batch; Mosaic requires non-full blocks be
+    divisible by 8.
     """
-    if batch <= 64:
+    if batch <= 200:
         return batch, batch, batch
     padded = -(-batch // 56) * 56
     fwd = 112 if padded % 112 == 0 else 56

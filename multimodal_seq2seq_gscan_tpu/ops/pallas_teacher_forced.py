@@ -35,6 +35,14 @@ from multimodal_seq2seq_gscan_tpu.ops.pallas_decoder import _attend
 
 K_STEPS = 8  # time-block size; unrolled at trace time
 
+# Scoped-VMEM limit (KiB) the embedding program must be compiled with for the
+# full-batch-200 single-block configuration (`models.model._fused_batch_block`)
+# to fit: the forward kernel alone needs 21.75 MiB vs the 16 MiB default.
+# v5e has 128 MiB of VMEM; `train/step.py` passes this as a per-program
+# compiler option (xla_tpu_scoped_vmem_limit_kib) when the pallas
+# teacher-forced impl is selected on TPU.
+SCOPED_VMEM_LIMIT_KIB = 65536
+
 
 def _sigmoid(x):
     return jax.nn.sigmoid(x)

@@ -44,7 +44,7 @@ def _train_resident(state, training_set, config, optimizer, train_step,
     """
     from multimodal_seq2seq_gscan_tpu.train.resident import (
         build_resident_data, gather_batch, host_resident_data,
-        index_block_stream, make_train_chunk, resolve_chunk_size)
+        make_train_chunk, resolve_chunk_size, stratified_index_block_stream)
 
     k = resolve_chunk_size(steps_per_execution, print_every, evaluate_every)
     chunk_fn = make_train_chunk(config, optimizer,
@@ -52,19 +52,21 @@ def _train_resident(state, training_set, config, optimizer, train_step,
                                 mesh=mesh)
     host_data = host_resident_data(training_set)
     data = build_resident_data(training_set, mesh=mesh)
-    blocks = index_block_stream(training_set.num_examples,
-                                training_batch_size, k, epoch_rng)
+    blocks = stratified_index_block_stream(host_data.target_lengths,
+                                           training_batch_size, k, epoch_rng)
     pending = []  # rows from a partially-consumed block (prefix/tail steps)
 
     def take_row():
         if not pending:
-            pending.extend(next(blocks))
+            block, _ = next(blocks)
+            pending.extend(block)
         return pending.pop(0)
 
     def take_block():
         if not pending:
             return next(blocks)  # common case: stream blocks straight through
-        return np.stack([take_row() for _ in range(k)])
+        # Rare resume/tail path: full-width chunk from leftover rows.
+        return np.stack([take_row() for _ in range(k)]), None
 
     logger.info("Device-resident training: %d examples on device, "
                 "%d-step scanned chunks.", training_set.num_examples, k)
@@ -112,8 +114,8 @@ def _train_resident(state, training_set, config, optimizer, train_step,
                 state, iteration, max_training_iterations - iteration + 1)
             break
         profiler.maybe_start(iteration)
-        block = take_block()
-        state, metrics = chunk_fn(state, data, block)
+        block, segments = take_block()
+        state, metrics = chunk_fn(state, data, block, segments)
         profiler.maybe_stop(iteration)
         end_iteration = iteration + k - 1
         window_steps += k

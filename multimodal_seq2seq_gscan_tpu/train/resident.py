@@ -22,7 +22,7 @@ shard from its local replica and XLA inserts the usual gradient all-reduce.
 """
 
 import math
-from typing import Iterator, NamedTuple, Optional
+from typing import Iterator, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,8 @@ import optax
 from multimodal_seq2seq_gscan_tpu.core.batch import Batch
 from multimodal_seq2seq_gscan_tpu.models.config import ModelConfig
 from multimodal_seq2seq_gscan_tpu.train.state import TrainState
-from multimodal_seq2seq_gscan_tpu.train.step import train_step_body
+from multimodal_seq2seq_gscan_tpu.train.step import (
+    fused_compiler_options, train_step_body)
 
 
 class ResidentData(NamedTuple):
@@ -99,22 +100,50 @@ def make_train_chunk(config: ModelConfig,
                      optimizer: optax.GradientTransformation,
                      weight_target_loss: float = 0.3, mesh=None,
                      donate: bool = True):
-    """Jit ``chunk(state, data, idx_block)``: ``K`` scanned optimizer steps.
+    """Jit ``chunk(state, data, idx_block, segments=None)``: ``K`` scanned
+    optimizer steps.
 
     ``idx_block`` is ``[K, B] int32``; the returned metrics dict has ``[K]``
     leaves (per-step values, last entry = most recent step).
+
+    ``segments`` (static, ``((count, width), ...)`` with counts summing to
+    K) splits the block into consecutive row groups and narrows each
+    group's gathered target matrix to its ``width`` columns before the
+    train step — exact (loss and metrics mask everything past each row's
+    target length) whenever each width covers every row of its group, which
+    `stratified_index_block_stream` guarantees.  One program is compiled
+    per distinct spec (normally: one).
     """
 
-    def chunk(state: TrainState, data: ResidentData, idx_block: jax.Array):
-        def body(carry, idx):
-            new_state, metrics = train_step_body(
-                carry, gather_batch(data, idx), config, optimizer,
-                weight_target_loss)
-            return new_state, metrics
+    def chunk(state: TrainState, data: ResidentData, idx_block: jax.Array,
+              segments=None):
+        t_full = data.target_ids.shape[1]
 
-        return jax.lax.scan(body, state, idx_block)
+        def body_at(width):
+            def body(carry, idx):
+                batch = gather_batch(data, idx)
+                if width is not None and width < t_full:
+                    batch = batch._replace(
+                        target_ids=batch.target_ids[:, :width])
+                new_state, metrics = train_step_body(
+                    carry, batch, config, optimizer, weight_target_loss)
+                return new_state, metrics
+            return body
+
+        if segments is None:
+            return jax.lax.scan(body_at(None), state, idx_block)
+        per_segment = []
+        offset = 0
+        for count, width in segments:
+            state, metrics = jax.lax.scan(
+                body_at(width), state, idx_block[offset:offset + count])
+            per_segment.append(metrics)
+            offset += count
+        metrics = jax.tree.map(lambda *xs: jnp.concatenate(xs), *per_segment)
+        return state, metrics
 
     donate_argnums = (0,) if donate else ()
+    compiler_options = fused_compiler_options(config)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         replicated = NamedSharding(mesh, P())
@@ -124,8 +153,11 @@ def make_train_chunk(config: ModelConfig,
         return jax.jit(chunk,
                        in_shardings=(replicated, data_shardings, idx_sharding),
                        out_shardings=(replicated, replicated),
-                       donate_argnums=donate_argnums)
-    return jax.jit(chunk, donate_argnums=donate_argnums)
+                       donate_argnums=donate_argnums,
+                       static_argnums=(3,),
+                       compiler_options=compiler_options)
+    return jax.jit(chunk, donate_argnums=donate_argnums, static_argnums=(3,),
+                   compiler_options=compiler_options)
 
 
 def index_block_stream(num_examples: int, batch_size: int,
@@ -150,6 +182,106 @@ def index_block_stream(num_examples: int, batch_size: int,
         block, buffer = buffer[:need], buffer[need:]
         yield np.ascontiguousarray(
             block.reshape(steps_per_block, batch_size).astype(np.int32))
+
+
+def _class_widths(target_lengths: np.ndarray, width_multiple: int
+                  ) -> Tuple[np.ndarray, int]:
+    """Per-example width class: length rounded up to ``width_multiple``,
+    capped at the global max length."""
+    lengths = np.maximum(np.asarray(target_lengths), 1)
+    t_max = int(lengths.max())
+    return np.minimum(t_max, -(-lengths // width_multiple)
+                      * width_multiple).astype(np.int64), t_max
+
+
+def chunk_segment_spec(target_lengths: np.ndarray, steps_per_block: int,
+                       width_multiple: int = 16) -> Tuple[Tuple[int, int], ...]:
+    """Static ``((count, width), ...)`` segments for one [K, B] train chunk,
+    widths ascending, counts summing to K.
+
+    Each chunk mirrors the dataset's target-length distribution: class j
+    (lengths rounded up to ``width_multiple``) gets ``floor(K * fraction_j)``
+    of the chunk's K batches, and the widest class absorbs the remainder, so
+    every K-step device call sees the full length mix.  (A length-SORTED
+    chunk stream was measured to destroy training — dev EM 2.2 vs 27.9 at
+    4k iterations — because ~85% of examples are short, so sorted chunks
+    produce hundreds-of-steps runs without a single long-sequence update.)
+    Classes whose floor is 0 get no segment; their examples ride along in
+    wider segments (always exact — a segment only requires width >= every
+    row's length).
+    """
+    widths, _ = _class_widths(target_lengths, width_multiple)
+    classes, counts = np.unique(widths, return_counts=True)
+    alloc = np.floor(counts / counts.sum() * steps_per_block).astype(int)
+    alloc[-1] += steps_per_block - int(alloc.sum())  # widest absorbs the rest
+    return tuple((int(a), int(w)) for a, w in zip(alloc, classes) if a > 0)
+
+
+def stratified_index_block_stream(target_lengths: np.ndarray, batch_size: int,
+                                  steps_per_block: int,
+                                  rng: Optional[np.random.Generator] = None,
+                                  width_multiple: int = 16
+                                  ) -> Iterator[tuple]:
+    """Endless ``([K, B] int32 block, segment spec)`` pairs.
+
+    Like ``index_block_stream`` (fresh permutation per epoch horizon, every
+    example exactly once, seamless epoch boundaries), but each block's rows
+    are laid out to match ``chunk_segment_spec``: the first ``c_1`` rows hold
+    examples no longer than ``w_1``, the next ``c_2`` no longer than ``w_2``,
+    and so on — so the scanned train chunk runs each segment's teacher-forced
+    unroll at that segment's width instead of the ~104-token global max
+    (most gSCAN targets are ~12-20 tokens, so this removes most of the
+    sequential decoder latency that dominates the device step) while every
+    device call still samples the whole length distribution.
+
+    Segments are filled from their own length class first, then backfilled
+    from shorter classes (exact: a row only needs width >= its length).
+    When the remaining examples cannot fill a block (fewer than K*B left, or
+    only over-long examples remain for some segment), the leftovers carry
+    into the next epoch's pools and are consumed first.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    target_lengths = np.asarray(target_lengths)
+    widths, _ = _class_widths(target_lengths, width_multiple)
+    spec = chunk_segment_spec(target_lengths, steps_per_block, width_multiple)
+    class_of = {w: np.flatnonzero(widths == w) for w in np.unique(widths)}
+    pools = {w: np.empty((0,), np.int64) for w in class_of}
+    while True:
+        for w, members in class_of.items():
+            pools[w] = np.concatenate([pools[w], rng.permutation(members)])
+        while True:
+            if sum(p.size for p in pools.values()) < steps_per_block * batch_size:
+                break
+            segments = []
+            taken = {w: 0 for w in pools}
+            feasible = True
+            for count, width in spec:
+                need = count * batch_size
+                rows = []
+                # own class first, then widest-to-shortest of the shorter
+                for w in sorted((w for w in pools if w <= width),
+                                key=lambda w: (w != width, -w)):
+                    avail = pools[w].size - taken[w]
+                    if avail <= 0:
+                        continue
+                    grab = min(need - sum(r.size for r in rows), avail)
+                    rows.append(pools[w][taken[w]:taken[w] + grab])
+                    taken[w] += grab
+                    if sum(r.size for r in rows) == need:
+                        break
+                if sum(r.size for r in rows) != need:
+                    feasible = False
+                    break
+                seg = np.concatenate(rows)
+                rng.shuffle(seg)
+                segments.append(seg.reshape(count, batch_size))
+            if not feasible:
+                break
+            for w in pools:
+                pools[w] = pools[w][taken[w]:]
+            block = np.concatenate(segments, axis=0)
+            yield (np.ascontiguousarray(block.astype(np.int32)), spec)
 
 
 def resolve_chunk_size(steps_per_execution: int, print_every: int,

@@ -72,6 +72,7 @@ def make_train_step(config: ModelConfig, optimizer: optax.GradientTransformation
         return train_step_body(state, batch, config, optimizer,
                                weight_target_loss)
 
+    compiler_options = fused_compiler_options(config)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         replicated = NamedSharding(mesh, P())
@@ -82,8 +83,26 @@ def make_train_step(config: ModelConfig, optimizer: optax.GradientTransformation
         return jax.jit(train_step,
                        in_shardings=(replicated, batch_shardings),
                        out_shardings=(replicated, replicated),
-                       donate_argnums=(0,) if donate else ())
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+                       donate_argnums=(0,) if donate else (),
+                       compiler_options=compiler_options)
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                   compiler_options=compiler_options)
+
+
+def fused_compiler_options(config: ModelConfig):
+    """Per-program compiler options the fused teacher-forced kernels need.
+
+    The full-batch single-block configuration (the fast one — grid blocks
+    serialize) exceeds the 16 MiB default scoped-VMEM limit, so the program
+    must be compiled with a raised limit (v5e has 128 MiB of VMEM). Returns
+    None for the XLA impl or off-TPU (the flag is TPU-specific and the CPU
+    interpret path doesn't need it)."""
+    if (config.teacher_forced_impl == "pallas"
+            and jax.default_backend() == "tpu"):
+        from multimodal_seq2seq_gscan_tpu.ops.pallas_teacher_forced import (
+            SCOPED_VMEM_LIMIT_KIB)
+        return {"xla_tpu_scoped_vmem_limit_kib": str(SCOPED_VMEM_LIMIT_KIB)}
+    return None
 
 
 def make_eval_forward(config: ModelConfig):

@@ -155,20 +155,22 @@ def test_model_forward_and_loss_grads_match(setup):
 
 
 def test_fused_batch_block_chooser():
-    """Forward block <= 112, backward <= 64 (measured VMEM caps), each
-    divisible by 8 unless it spans the whole (padded) batch; flagship batch
-    200 lands on fwd 112 / bwd 56 over a 224-row padded batch."""
+    """Batches up to the flagship 200 run as ONE full block per kernel
+    (requires the raised scoped-VMEM limit, train/step.py
+    fused_compiler_options); larger batches fall back to 112/56 blocks
+    (measured safe under the default 16 MiB limit), each divisible by 8
+    unless it spans the whole (padded) batch."""
     from multimodal_seq2seq_gscan_tpu.models.model import _fused_batch_block
 
     assert _fused_batch_block(6) == (6, 6, 6)      # small batch: one block
-    assert _fused_batch_block(64) == (64, 64, 64)  # bwd full-block limit
-    assert _fused_batch_block(200) == (112, 56, 224)  # flagship
+    assert _fused_batch_block(200) == (200, 200, 200)  # flagship: one block
+    assert _fused_batch_block(224) == (112, 56, 224)   # beyond the cap
     for batch in (13, 30, 111, 200, 512, 4096):
         fwd, bwd, padded = _fused_batch_block(batch)
         assert padded >= batch and padded % fwd == 0 and padded % bwd == 0
         assert fwd == padded or fwd % 8 == 0
         assert bwd == padded or bwd % 8 == 0
-        assert fwd <= 112 and bwd <= 64
+        assert batch <= 200 or (fwd <= 112 and bwd <= 64)
 
 
 def test_padded_batch_path_matches_scan(setup, monkeypatch):

@@ -41,6 +41,126 @@ def test_index_block_stream_exact_epochs():
     assert next(blocks).dtype == np.int32
 
 
+def test_chunk_segment_spec():
+    from multimodal_seq2seq_gscan_tpu.train.resident import chunk_segment_spec
+
+    rng = np.random.RandomState(5)
+    # 85% short (<=16), 10% medium (<=32), 5% long — gSCAN-like skew.
+    lengths = np.concatenate([rng.randint(5, 17, 850),
+                              rng.randint(17, 33, 100),
+                              rng.randint(33, 60, 50)]).astype(np.int32)
+    spec = chunk_segment_spec(lengths, steps_per_block=50, width_multiple=16)
+    counts = [c for c, _ in spec]
+    widths = [w for _, w in spec]
+    assert sum(counts) == 50
+    assert widths == sorted(widths)                    # ascending
+    assert widths[-1] == int(lengths.max())            # capped at T_max
+    assert all(c >= 1 for c in counts)
+    # every chunk carries the length mix: the short class dominates but the
+    # long tail still gets at least one batch per chunk
+    assert counts[0] >= 40 and counts[-1] >= 1
+
+
+def test_stratified_index_block_stream():
+    from multimodal_seq2seq_gscan_tpu.train.resident import (
+        chunk_segment_spec, stratified_index_block_stream)
+
+    rng = np.random.RandomState(7)
+    n, batch, k = 400, 4, 5
+    lengths = np.concatenate([rng.randint(3, 17, 340),
+                              rng.randint(17, 40, 60)]).astype(np.int32)
+    stream = stratified_index_block_stream(lengths, batch, k,
+                                           np.random.default_rng(2),
+                                           width_multiple=16)
+    spec = chunk_segment_spec(lengths, k, width_multiple=16)
+    per_epoch = n // (batch * k) * (batch * k)
+    seen = []
+    for _ in range(2 * per_epoch // (batch * k)):
+        block, got_spec = next(stream)
+        assert got_spec == spec
+        assert block.shape == (k, batch) and block.dtype == np.int32
+        # every row of every segment fits that segment's width
+        offset = 0
+        for count, width in spec:
+            seg = block[offset:offset + count]
+            assert lengths[seg].max() <= width
+            offset += count
+        seen.append(block.ravel())
+    flat = np.concatenate(seen)
+    for epoch in range(2):
+        window = flat[epoch * per_epoch:(epoch + 1) * per_epoch]
+        # once per epoch horizon (carry-over examples allowed to cross)
+        assert len(np.unique(window)) == per_epoch
+
+
+def test_chunk_segments_match_sliced_single_steps():
+    """A segmented chunk must equal per-step training on batches whose
+    target matrix is host-sliced to the same per-segment widths (the
+    reference itself pads targets to the BATCH max, so per-batch width is
+    the faithful semantic)."""
+    config, host = _toy_problem()
+    optimizer = make_optimizer()
+    k, batch = 4, 8
+    w_max = int(host.target_lengths.max())  # covers every row, < t_out
+    segments = ((2, w_max), (2, w_max - 1)) if w_max > 1 else ((4, w_max),)
+    # build a block whose later segments respect their narrower width
+    rng = np.random.default_rng(6)
+    short_rows = np.flatnonzero(host.target_lengths <= w_max - 1)
+    blocks = np.stack(
+        [rng.choice(host.num_examples, batch, replace=False) for _ in range(2)]
+        + [rng.choice(short_rows, batch, replace=False) for _ in range(2)]
+    ).astype(np.int32)
+
+    chunk_fn = make_train_chunk(config, optimizer, donate=False)
+    data = ResidentData(*(jax.device_put(a) for a in host))
+    state_a = create_train_state(jax.random.PRNGKey(11), config, optimizer)
+    state_a, metrics = chunk_fn(state_a, data, blocks, segments)
+    assert metrics["loss"].shape == (k,)
+
+    step_fn = make_train_step(config, optimizer, donate=False)
+    state_b = create_train_state(jax.random.PRNGKey(11), config, optimizer)
+    sliced_losses = []
+    for row, width in zip(blocks, [w_max, w_max, w_max - 1, w_max - 1]):
+        b = _host_batch_from(host, row)
+        b = b._replace(target_ids=b.target_ids[:, :width])
+        state_b, m = step_fn(state_b, b)
+        sliced_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), sliced_losses,
+                               rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-5, atol=1e-6),
+        state_a.params, state_b.params)
+
+
+def test_chunk_segments_exact_without_aux():
+    """Without the auxiliary task (the flagship setting) covering widths are
+    EXACT: same losses and parameters as the full-width chunk."""
+    config, host = _toy_problem()
+    config = config._replace(auxiliary_task=False)
+    optimizer = make_optimizer()
+    k, batch = 4, 8
+    w_max = int(host.target_lengths.max())
+    blocks = next(index_block_stream(host.num_examples, batch, k,
+                                     np.random.default_rng(8)))
+    chunk_fn = make_train_chunk(config, optimizer, donate=False)
+    data = ResidentData(*(jax.device_put(a) for a in host))
+
+    state_w = create_train_state(jax.random.PRNGKey(13), config, optimizer)
+    state_w, metrics_w = chunk_fn(state_w, data, blocks,
+                                  ((2, w_max), (2, w_max)))
+    state_f = create_train_state(jax.random.PRNGKey(13), config, optimizer)
+    state_f, metrics_f = chunk_fn(state_f, data, blocks, None)
+
+    np.testing.assert_allclose(np.asarray(metrics_w["loss"]),
+                               np.asarray(metrics_f["loss"]), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        state_w.params, state_f.params)
+
+
 def _toy_problem(n=24, batch=8, grid=4, channels=6, t_in=7, t_out=9):
     rng = np.random.RandomState(0)
     config = ModelConfig(
