@@ -64,15 +64,16 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
     training (predict() is called every ``evaluate_every`` iterations) reuse
     one jitted program instead of retracing/recompiling each time.
 
-    With ``early_exit`` (default) the time loop is a ``lax.while_loop`` that
-    stops as soon as every example in the batch has emitted EOS — on real data
-    (targets ~15 tokens, cap 120) this saves ~8x device time over always
-    unrolling all steps. Output buffers stay statically shaped [B, S].
-    The all-done test runs hierarchically: each ``while_loop`` iteration
-    executes a ``lax.scan`` block of ``exit_check_every`` decoder steps, so
-    the per-iteration loop/reduction overhead (which at batch 4096 used to
-    cost more than the skipped tail saved) is amortized over K steps at the
-    price of overshooting the last EOS by at most K-1 steps.
+    With ``early_exit`` (default) the time loop is a ``lax.scan`` over
+    blocks of ``exit_check_every`` decoder steps in which each block is
+    wrapped in ``lax.cond(all_done, skip, run)``: once every example in the
+    batch has emitted EOS the remaining blocks fall through the skip branch
+    (a memset of that block's output rows) — on real data (targets ~15
+    tokens, cap 120) this skips most of the decoder compute. Outputs are
+    stacked by the scan itself; an earlier ``lax.while_loop`` design instead
+    carried the full [S, B, M] output buffers through the loop and lost to
+    the fixed-length scan at large batches on buffer traffic alone (493k vs
+    539k ex/s at batch 4096) even when it executed half the steps.
 
     With ``mesh``, parameters are replicated and every batch-leading array
     (inputs and outputs) is sharded over the mesh's 'data' axis — the decode
@@ -138,47 +139,34 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
                     sos_idx=config.target_sos_idx,
                     eos_idx=config.target_eos_idx, interpret=interpret)
 
+            def pallas_step(carry, _):
+                h, c, tokens, done = carry
+                h, c, tokens, done, t_blk, e_blk, ac_blk, as_blk = \
+                    run_block(h, c, tokens, done)
+                return ((h, c, tokens, done),
+                        (t_blk, e_blk, ac_blk, as_blk))
+
             if early_exit:
-                bufs = (jnp.zeros((padded_steps, batch), jnp.int32),
-                        jnp.zeros((padded_steps, batch), jnp.float32),
-                        jnp.zeros((padded_steps, batch, m_t), jnp.float32),
-                        jnp.zeros((padded_steps, batch, m_v), jnp.float32))
+                def pallas_skip(carry, _):
+                    return carry, (jnp.zeros((block, batch), jnp.int32),
+                                   jnp.zeros((block, batch), jnp.float32),
+                                   jnp.zeros((block, batch, m_t), jnp.float32),
+                                   jnp.zeros((block, batch, m_v), jnp.float32))
 
-                def pallas_cond(state):
-                    block_idx, _, _, _, done = state[:5]
-                    return jnp.logical_and(block_idx < num_blocks,
-                                           jnp.logical_not(jnp.all(done)))
-
-                def pallas_body(state):
-                    (block_idx, h, c, tokens, done, tb, eb, acb, asb) = state
-                    start = block_idx * block
-                    (h, c, tokens, done, t_blk, e_blk, ac_blk, as_blk) = \
-                        run_block(h, c, tokens, done)
-                    tb = lax.dynamic_update_slice_in_dim(tb, t_blk, start, 0)
-                    eb = lax.dynamic_update_slice_in_dim(eb, e_blk, start, 0)
-                    acb = lax.dynamic_update_slice_in_dim(acb, ac_blk, start, 0)
-                    asb = lax.dynamic_update_slice_in_dim(asb, as_blk, start, 0)
-                    return (block_idx + 1, h, c, tokens, done,
-                            tb, eb, acb, asb)
-
-                state = (jnp.int32(0), h0, c0, start_tokens, done0) + bufs
-                state = lax.while_loop(pallas_cond, pallas_body, state)
-                tokens, emitted, attn_cmd, attn_sit = state[5:]
+                def pallas_block(carry, xs):
+                    done = carry[3]
+                    return lax.cond(jnp.all(done), pallas_skip, pallas_step,
+                                    carry, xs)
             else:
-                def pallas_step(carry, _):
-                    h, c, tokens, done = carry
-                    h, c, tokens, done, t_blk, e_blk, ac_blk, as_blk = \
-                        run_block(h, c, tokens, done)
-                    return ((h, c, tokens, done),
-                            (t_blk, e_blk, ac_blk, as_blk))
+                pallas_block = pallas_step
 
-                _, (tokens, emitted, attn_cmd, attn_sit) = lax.scan(
-                    pallas_step, (h0, c0, start_tokens, done0), None,
-                    length=num_blocks)
-                tokens = tokens.reshape(padded_steps, batch)
-                emitted = emitted.reshape(padded_steps, batch)
-                attn_cmd = attn_cmd.reshape(padded_steps, batch, m_t)
-                attn_sit = attn_sit.reshape(padded_steps, batch, m_v)
+            _, (tokens, emitted, attn_cmd, attn_sit) = lax.scan(
+                pallas_block, (h0, c0, start_tokens, done0), None,
+                length=num_blocks)
+            tokens = tokens.reshape(padded_steps, batch)
+            emitted = emitted.reshape(padded_steps, batch)
+            attn_cmd = attn_cmd.reshape(padded_steps, batch, m_t)
+            attn_sit = attn_sit.reshape(padded_steps, batch, m_v)
             tokens = tokens[:num_steps]
             emitted = emitted[:num_steps]
             attn_cmd = attn_cmd[:num_steps]
@@ -189,20 +177,9 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
             padded_steps = num_blocks * block
             m_t = projected_textual.shape[1]
             m_v = projected_visual.shape[1]
-            tokens_buf = jnp.zeros((padded_steps, batch), jnp.int32)
-            emitted_buf = jnp.zeros((padded_steps, batch), jnp.float32)
-            attn_cmd_buf = jnp.zeros((padded_steps, batch, m_t), jnp.float32)
-            attn_sit_buf = jnp.zeros((padded_steps, batch, m_v), jnp.float32)
 
-            def cond(state):
-                block_idx, _, _, done, _, _, _, _ = state
-                return jnp.logical_and(block_idx < num_blocks,
-                                       jnp.logical_not(jnp.all(done)))
-
-            def body(state):
-                (block_idx, tokens, hidden, done, tokens_buf, emitted_buf,
-                 attn_cmd_buf, attn_sit_buf) = state
-                start = block_idx * block
+            def run_blk(carry, start):
+                tokens, hidden, done = carry
 
                 def inner(carry, offset):
                     tokens, hidden, done = carry
@@ -216,28 +193,27 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
                     return ((carry_tokens, new_hidden, new_done),
                             (tokens_out, emitting, attn_cmd, attn_sit))
 
-                ((tokens, hidden, done),
-                 (t_blk, e_blk, ac_blk, as_blk)) = lax.scan(
-                    inner, (tokens, hidden, done), jnp.arange(block))
-                tokens_buf = lax.dynamic_update_slice_in_dim(
-                    tokens_buf, t_blk, start, 0)
-                emitted_buf = lax.dynamic_update_slice_in_dim(
-                    emitted_buf, e_blk, start, 0)
-                attn_cmd_buf = lax.dynamic_update_slice_in_dim(
-                    attn_cmd_buf, ac_blk, start, 0)
-                attn_sit_buf = lax.dynamic_update_slice_in_dim(
-                    attn_sit_buf, as_blk, start, 0)
-                return (block_idx + 1, tokens, hidden, done,
-                        tokens_buf, emitted_buf, attn_cmd_buf, attn_sit_buf)
+                return lax.scan(inner, (tokens, hidden, done),
+                                jnp.arange(block))
 
-            state = (jnp.int32(0), start_tokens, hidden, done0, tokens_buf,
-                     emitted_buf, attn_cmd_buf, attn_sit_buf)
-            (_, _, _, _, tokens, emitted, attn_cmd, attn_sit) = \
-                lax.while_loop(cond, body, state)
-            tokens = tokens[:num_steps]
-            emitted = emitted[:num_steps]
-            attn_cmd = attn_cmd[:num_steps]
-            attn_sit = attn_sit[:num_steps]
+            def skip_blk(carry, start):
+                return carry, (jnp.zeros((block, batch), jnp.int32),
+                               jnp.zeros((block, batch), jnp.float32),
+                               jnp.zeros((block, batch, m_t), jnp.float32),
+                               jnp.zeros((block, batch, m_v), jnp.float32))
+
+            def block_step(carry, start):
+                done = carry[2]
+                return lax.cond(jnp.all(done), skip_blk, run_blk, carry,
+                                start)
+
+            _, (tokens, emitted, attn_cmd, attn_sit) = lax.scan(
+                block_step, (start_tokens, hidden, done0),
+                jnp.arange(num_blocks) * block)
+            tokens = tokens.reshape(padded_steps, batch)[:num_steps]
+            emitted = emitted.reshape(padded_steps, batch)[:num_steps]
+            attn_cmd = attn_cmd.reshape(padded_steps, batch, m_t)[:num_steps]
+            attn_sit = attn_sit.reshape(padded_steps, batch, m_v)[:num_steps]
         else:
             def step(carry, _):
                 tokens, hidden, done = carry
