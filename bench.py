@@ -36,6 +36,8 @@ MAX_DECODING_STEPS = 120              # all_experiments.sh test setting
 # 512 -> 165k ex/s, 1024 -> 226k, 2048 -> 373k, 4096 -> 382k (early-exit).
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", 4096))
 MAX_EXAMPLES = int(os.environ.get("BENCH_MAX_EXAMPLES", 4096))
+# Early-exit done-check block size (decoder steps per lax.cond block).
+EXIT_CHECK_EVERY = int(os.environ.get("BENCH_EXIT_CHECK_EVERY", 8))
 
 
 def _log(msg):
@@ -187,19 +189,38 @@ def main():
         workload = _synthetic_workload()
     config, params, batches, counts, target_lists = workload
 
-    early = make_greedy_decoder(config, MAX_DECODING_STEPS, early_exit=True)
+    early = make_greedy_decoder(config, MAX_DECODING_STEPS, early_exit=True,
+                                exit_check_every=EXIT_CHECK_EVERY)
     fixed = make_greedy_decoder(config, MAX_DECODING_STEPS, early_exit=False)
 
     early_rate, outs = _time_decoder(early, params, batches, counts)
     fixed_rate, _ = _time_decoder(fixed, params, batches, counts)
     _log("bench: [{}] early-exit {:.0f} ex/s, fixed-120 {:.0f} ex/s".format(
         DEFAULT_DECODE_IMPL, early_rate, fixed_rate))
+    # bf16 decode loop (opt-in, compute_dtype="bfloat16"): halves the
+    # per-step HBM traffic of the projected attention keys. Report its rate
+    # and EM so the quality cost (if any) is always on record.
+    try:
+        bf16 = make_greedy_decoder(config, MAX_DECODING_STEPS,
+                                   early_exit=True,
+                                   exit_check_every=EXIT_CHECK_EVERY,
+                                   compute_dtype="bfloat16")
+        bf16_rate, bf16_outs = _time_decoder(bf16, params, batches, counts)
+        msg = "bench: [xla/bf16] early-exit {:.0f} ex/s".format(bf16_rate)
+        if target_lists is not None:
+            msg += ", dev EM {:.2f}%".format(
+                _exact_match(config, bf16_outs, target_lists))
+        _log(msg)
+    except Exception as exc:
+        _log("bench: [xla/bf16] decoder failed ({}: {})".format(
+            type(exc).__name__, exc))
     # Measure the non-default decoder-step implementation too, so BENCH and
     # PERFORMANCE.md record both sides of the xla/pallas choice.
     other_impl = "pallas" if DEFAULT_DECODE_IMPL == "xla" else "xla"
     try:
         other = make_greedy_decoder(config, MAX_DECODING_STEPS,
-                                    early_exit=True, decode_impl=other_impl)
+                                    early_exit=True, decode_impl=other_impl,
+                                    exit_check_every=EXIT_CHECK_EVERY)
         other_rate, _ = _time_decoder(other, params, batches, counts)
         _log("bench: [{}] early-exit {:.0f} ex/s".format(other_impl,
                                                          other_rate))

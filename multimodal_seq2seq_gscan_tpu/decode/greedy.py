@@ -56,7 +56,8 @@ DEFAULT_DECODE_IMPL = "xla"
 def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
                         early_exit: bool = True, mesh=None,
                         exit_check_every: int = 8,
-                        decode_impl: Optional[str] = None):
+                        decode_impl: Optional[str] = None,
+                        compute_dtype: Optional[str] = None):
     """Build a jitted batched greedy decoder.
 
     Memoized on (config, max_decoding_steps, early_exit, mesh,
@@ -80,6 +81,15 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
     counterpart of ``make_train_step(..., mesh=)``; the early-exit
     all-examples-done test becomes a cross-device reduction XLA lowers onto
     the ICI.
+
+    With ``compute_dtype="bfloat16"`` the decode *loop* runs in bf16: the
+    encoder still runs once per batch in f32, but the projected attention
+    keys, masks, decoder weights, and LSTM state are cast before the time
+    loop. The per-step cost is dominated by re-reading the projected key
+    tensors from HBM ([B, 36, 100] + [B, 16, 100] every one of up to 121
+    steps), so halving their bytes attacks the measured bandwidth bound
+    directly. Emitted tokens stay int32; attention weights are cast back to
+    f32 on output. Opt-in: default f32 keeps bit-parity with the reference.
     """
     num_steps = max_decoding_steps + 1  # reference loops while iter <= max.
 
@@ -87,10 +97,12 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
         decode_impl = DEFAULT_DECODE_IMPL
     use_pallas = decode_impl == "pallas"
     if use_pallas and (mesh is not None or config.num_decoder_layers != 1
-                       or not config.conditional_attention):
-        # The fused kernel covers the flagship single-layer conditional
+                       or not config.conditional_attention
+                       or compute_dtype is not None):
+        # The fused kernel covers the flagship single-layer conditional f32
         # configuration; everything else uses the general XLA path.
         use_pallas = False
+    cast_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
     def greedy_decode(params: ModelParams, input_ids, input_lengths, situations,
                       target_positions) -> GreedyDecodeOutput:
@@ -98,14 +110,24 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
                                situations, deterministic=True)
         projected_textual, projected_visual = project_keys(params, encoded)
         hidden = initialize_decoder_hidden(params, config, encoded.hidden)
+        command_mask = encoded.command_mask
+        loop_params = params
+        if cast_dtype is not None:
+            def _cast(tree):
+                return jax.tree.map(
+                    lambda x: x.astype(cast_dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+            loop_params, projected_textual, projected_visual, command_mask, \
+                hidden = _cast((params, projected_textual, projected_visual,
+                                encoded.command_mask, hidden))
         batch = input_ids.shape[0]
         start_tokens = jnp.full((batch,), config.target_sos_idx, jnp.int32)
         done0 = jnp.zeros((batch,), jnp.bool_)
 
         def step_compute(tokens, hidden, done):
             logits, new_hidden, attn_cmd, attn_sit = decoder_step(
-                params, config, tokens, hidden, projected_textual,
-                encoded.command_mask, projected_visual, deterministic=True)
+                loop_params, config, tokens, hidden, projected_textual,
+                command_mask, projected_visual, deterministic=True)
             next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             emitting = jnp.logical_not(done)
             # Freeze state for finished examples.
@@ -177,6 +199,7 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
             padded_steps = num_blocks * block
             m_t = projected_textual.shape[1]
             m_v = projected_visual.shape[1]
+            attn_dtype = projected_textual.dtype
 
             def run_blk(carry, start):
                 tokens, hidden, done = carry
@@ -199,8 +222,8 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
             def skip_blk(carry, start):
                 return carry, (jnp.zeros((block, batch), jnp.int32),
                                jnp.zeros((block, batch), jnp.float32),
-                               jnp.zeros((block, batch, m_t), jnp.float32),
-                               jnp.zeros((block, batch, m_v), jnp.float32))
+                               jnp.zeros((block, batch, m_t), attn_dtype),
+                               jnp.zeros((block, batch, m_v), attn_dtype))
 
             def block_step(carry, start):
                 done = carry[2]
@@ -229,6 +252,9 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
         emitted = jnp.swapaxes(emitted, 0, 1)        # [B, S]
         attn_cmd = jnp.swapaxes(attn_cmd, 0, 1)      # [B, S, M_t]
         attn_sit = jnp.swapaxes(attn_sit, 0, 1)      # [B, S, M_v]
+        if cast_dtype is not None:
+            attn_cmd = attn_cmd.astype(jnp.float32)
+            attn_sit = attn_sit.astype(jnp.float32)
         lengths = jnp.sum(emitted, axis=1).astype(jnp.int32)
 
         if config.auxiliary_task:

@@ -60,3 +60,55 @@ def test_bench_fixture_checkpoint_decodes_dev_subset():
     assert exact_match > 85.0, (
         "fixture checkpoint only gets {:.1f}% EM on its own dev subset — "
         "vocab/checkpoint out of sync?".format(exact_match))
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(os.path.join(FIXTURE, "dataset.txt")),
+    reason="bench fixture not built")
+def test_bf16_decode_matches_f32_on_trained_model():
+    """The opt-in bf16 decode loop (compute_dtype="bfloat16") must emit the
+    same token sequences as the default f32 path on a TRAINED model + real
+    data. A trained model's logits are well-separated, so argmax should be
+    insensitive to bf16 rounding; disagreement means the cast leaked into
+    something it shouldn't have (masks, done flags, token carries)."""
+    from multimodal_seq2seq_gscan_tpu.data.dataset import GroundedScanDataset
+    from multimodal_seq2seq_gscan_tpu.decode.greedy import (
+        make_greedy_decoder, strip_output_sequences)
+    from multimodal_seq2seq_gscan_tpu.models import ModelConfig
+    from multimodal_seq2seq_gscan_tpu.train import checkpoint as ckpt
+    from multimodal_seq2seq_gscan_tpu.train.state import (
+        create_train_state, make_optimizer)
+
+    dataset = GroundedScanDataset(
+        os.path.join(FIXTURE, "dataset.txt"), FIXTURE, k=0, split="dev",
+        input_vocabulary_file="training_input_vocab.txt",
+        target_vocabulary_file="training_target_vocab.txt",
+        generate_vocabulary=False)
+    dataset.read_dataset(max_examples=64)
+    config = ModelConfig(
+        input_vocabulary_size=dataset.input_vocabulary_size,
+        target_vocabulary_size=dataset.target_vocabulary_size,
+        num_cnn_channels=dataset.image_channels, embedding_dimension=25,
+        encoder_hidden_size=100, decoder_hidden_size=100, cnn_kernel_size=7,
+        cnn_hidden_num_channels=50, auxiliary_task=False)
+    template = create_train_state(jax.random.PRNGKey(0), config,
+                                  make_optimizer())
+    state, _ = ckpt.load_checkpoint(
+        os.path.join(FIXTURE, "model_best.msgpack"), template)
+
+    f32 = make_greedy_decoder(config, max_decoding_steps=120, early_exit=True)
+    bf16 = make_greedy_decoder(config, max_decoding_steps=120,
+                               early_exit=True, compute_dtype="bfloat16")
+    batch, idx, _, _ = next(dataset.get_data_iterator(
+        batch_size=64, pad_to_full_batch=True, with_representations=False))
+    args = (batch.input_ids, batch.input_lengths, batch.situations,
+            batch.target_positions)
+    out32 = f32(state.params, *args)
+    out16 = bf16(state.params, *args)
+    assert out16.attention_commands.dtype == np.float32
+    seqs32, _ = strip_output_sequences(out32, config.target_eos_idx)
+    seqs16, _ = strip_output_sequences(out16, config.target_eos_idx)
+    disagree = sum(a != b for a, b in zip(seqs32, seqs16))
+    assert disagree <= 1, (
+        "{} / {} sequences differ between f32 and bf16 decode".format(
+            disagree, len(seqs32)))
