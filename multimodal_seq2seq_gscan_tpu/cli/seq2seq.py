@@ -137,6 +137,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Teacher-forced unroll: XLA scan or the fused "
                              "Pallas whole-unroll kernel pair (single-chip, "
                              "single-layer conditional decoder).")
+    parser.add_argument("--decode_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Greedy-decode loop dtype. bfloat16 halves the "
+                             "per-step attention-key HBM traffic (encoder "
+                             "stays f32); float32 keeps reference "
+                             "bit-parity.")
     parser.add_argument("--conditional_attention",
                         dest="conditional_attention", default=True,
                         action="store_true",
@@ -327,7 +333,9 @@ def run_test(flags, data_path):
             output_file_path=output_file_path,
             max_decoding_steps=flags["max_decoding_steps"],
             batch_size=flags["test_batch_size"],
-            max_testing_examples=flags["max_testing_examples"], mesh=mesh)
+            max_testing_examples=flags["max_testing_examples"], mesh=mesh,
+            decode_dtype=(None if flags["decode_dtype"] == "float32"
+                          else flags["decode_dtype"]))
         logger.info("Saved predictions to {}".format(output_file))
 
 

@@ -31,13 +31,17 @@ def predict(dataset: GroundedScanDataset, params: ModelParams,
             config: ModelConfig, max_decoding_steps: int,
             batch_size: int = 256,
             max_examples_to_evaluate: Optional[int] = None,
-            pad_to_full_batch: bool = True, mesh=None) -> Iterator[dict]:
+            pad_to_full_batch: bool = True, mesh=None,
+            decode_dtype: Optional[str] = None) -> Iterator[dict]:
     """Greedy-decode the dataset in batches; yield one record dict per example.
 
     With ``mesh``, each batch is sharded over the mesh's 'data' axis and the
     decoder runs data-parallel (pad_to_full_batch keeps shards equal-sized).
+    ``decode_dtype="bfloat16"`` opts the decode loop into bf16 (halves the
+    per-step attention-key HBM traffic; see make_greedy_decoder).
     """
-    decoder = make_greedy_decoder(config, max_decoding_steps, mesh=mesh)
+    decoder = make_greedy_decoder(config, max_decoding_steps, mesh=mesh,
+                                  compute_dtype=decode_dtype)
     start_time = time.time()
     produced = 0
     done = False
@@ -92,13 +96,14 @@ def predict_and_save(dataset: GroundedScanDataset, params: ModelParams,
                      config: ModelConfig, output_file_path: str,
                      max_decoding_steps: int, batch_size: int = 256,
                      max_testing_examples: Optional[int] = None,
-                     mesh=None, **kwargs) -> str:
+                     mesh=None, decode_dtype: Optional[str] = None,
+                     **kwargs) -> str:
     """Decode the dataset and write the canonical predict.json."""
     output = []
     for record in predict(dataset, params, config, max_decoding_steps,
                           batch_size=batch_size,
                           max_examples_to_evaluate=max_testing_examples,
-                          mesh=mesh):
+                          mesh=mesh, decode_dtype=decode_dtype):
         target_no_markers = record["target_ids"][1:-1].tolist()
         accuracy = sequence_accuracy(record["output_ids"], target_no_markers)
         input_str = dataset.array_to_sentence(
@@ -128,7 +133,8 @@ def predict_and_save(dataset: GroundedScanDataset, params: ModelParams,
 def evaluate(dataset: GroundedScanDataset, params: ModelParams,
              config: ModelConfig, max_decoding_steps: int,
              batch_size: int = 256,
-             max_examples_to_evaluate: Optional[int] = None, mesh=None):
+             max_examples_to_evaluate: Optional[int] = None, mesh=None,
+             decode_dtype: Optional[str] = None):
     """(mean token accuracy, % exact match, mean aux position accuracy)."""
     accuracies: List[float] = []
     target_accuracies: List[float] = []
@@ -136,7 +142,7 @@ def evaluate(dataset: GroundedScanDataset, params: ModelParams,
     for record in predict(dataset, params, config, max_decoding_steps,
                           batch_size=batch_size,
                           max_examples_to_evaluate=max_examples_to_evaluate,
-                          mesh=mesh):
+                          mesh=mesh, decode_dtype=decode_dtype):
         accuracy = sequence_accuracy(record["output_ids"],
                                      record["target_ids"][1:-1].tolist())
         if accuracy == 100:
