@@ -43,27 +43,21 @@ def predict(dataset: GroundedScanDataset, params: ModelParams,
     decoder = make_greedy_decoder(config, max_decoding_steps, mesh=mesh,
                                   compute_dtype=decode_dtype)
     start_time = time.time()
-    produced = 0
-    done = False
-    for batch, idx, situation_reprs, derivation_reprs in \
-            dataset.get_data_iterator(batch_size=batch_size,
-                                      pad_to_full_batch=pad_to_full_batch):
-        if done:
-            break
-        output = decoder(params, jnp.asarray(batch.input_ids),
-                         jnp.asarray(batch.input_lengths),
-                         jnp.asarray(batch.situations),
-                         jnp.asarray(batch.target_positions))
+    produced = [0]
+    done = [False]
+
+    def assemble(output, batch, idx, situation_reprs, derivation_reprs):
+        """Host-side record assembly for one decoded batch (generator)."""
         sequences, kept_lengths = strip_output_sequences(
             output, eos_idx=config.target_eos_idx)
         attn_cmd = np.asarray(output.attention_commands)
         attn_sit = np.asarray(output.attention_situations)
         position_accuracy = np.asarray(output.position_accuracy)
         for row in range(len(idx)):
-            if max_examples_to_evaluate and produced >= \
+            if max_examples_to_evaluate and produced[0] >= \
                     max_examples_to_evaluate:
-                done = True
-                break
+                done[0] = True
+                return
             example_idx = int(idx[row])
             input_length = int(batch.input_lengths[row])
             target_ids = dataset._target_ids[example_idx]
@@ -86,9 +80,28 @@ def predict(dataset: GroundedScanDataset, params: ModelParams,
                 "attention_weights_situation": attention_weights_situations,
                 "position_accuracy": float(position_accuracy[row]),
             }
-            produced += 1
+            produced[0] += 1
+
+    # One-batch lookahead: enqueue the decode of batch i+1 (jax dispatch is
+    # async) BEFORE the host assembles batch i's records, so device decode
+    # and host-side JSON assembly overlap instead of strictly alternating.
+    pending = None
+    for batch, idx, situation_reprs, derivation_reprs in \
+            dataset.get_data_iterator(batch_size=batch_size,
+                                      pad_to_full_batch=pad_to_full_batch):
+        if done[0]:
+            break
+        output = decoder(params, jnp.asarray(batch.input_ids),
+                         jnp.asarray(batch.input_lengths),
+                         jnp.asarray(batch.situations),
+                         jnp.asarray(batch.target_positions))
+        if pending is not None:
+            yield from assemble(*pending)
+        pending = (output, batch, idx, situation_reprs, derivation_reprs)
+    if pending is not None and not done[0]:
+        yield from assemble(*pending)
     elapsed_time = time.time() - start_time
-    logger.info("Predicted for {} examples.".format(produced))
+    logger.info("Predicted for {} examples.".format(produced[0]))
     logger.info("Done predicting in {} seconds.".format(elapsed_time))
 
 
