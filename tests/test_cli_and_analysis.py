@@ -91,6 +91,27 @@ def test_cli_test_mode_writes_predict_json(trained_dir):
         assert len(records) > 0
 
 
+def test_cli_test_mode_bf16_decode(trained_dir):
+    """--decode_dtype=bfloat16 must flow through test mode end to end."""
+    seq2seq_cli.main(_seq2seq_flags(
+        mode="test", data_directory=trained_dir, output_directory=trained_dir,
+        generate_vocabularies=False, input_vocab_path="input_vocab.txt",
+        target_vocab_path="target_vocab.txt", splits="dev",
+        resume_from_file=os.path.join(trained_dir, "checkpoint.msgpack"),
+        max_decoding_steps=25, embedding_dimension=12, encoder_hidden_size=16,
+        decoder_hidden_size=16, cnn_kernel_size=3, cnn_hidden_num_channels=8,
+        test_batch_size=32, seed=1, decode_dtype="bfloat16",
+        output_file_name="bf16_predict.json"))
+    with open(os.path.join(trained_dir, "dev_bf16_predict.json")) as f:
+        records = json.load(f)
+    assert len(records) > 0
+    # Attention weights must have been cast back to f32-native floats and
+    # stay a valid distribution per step.
+    for record in records[:5]:
+        for step in record["attention_weights_situation"]:
+            assert abs(sum(step[0]) - 1.0) < 1e-2
+
+
 def test_error_analysis_cli(trained_dir):
     gscan_cli.main(_gscan_flags(
         mode="error_analysis",
