@@ -18,7 +18,7 @@ comparison and for hosts where the dataset cannot live in device memory.
 
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 

@@ -13,7 +13,7 @@ import json
 import logging
 import os
 import shutil
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 from flax import serialization
