@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multimodal_seq2seq_gscan_tpu.ops.pallas_decoder import _attend
 
-K_STEPS = 8  # time-block size; unrolled at trace time
+K_STEPS = 8  # time-block size; stepped by an in-kernel fori_loop
 
 # Scoped-VMEM limit (KiB) the embedding program must be compiled with for the
 # full-batch-200 single-block configuration (`models.model._fused_batch_block`)
