@@ -25,12 +25,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_EXAMPLES_PER_SECOND = 21.35  # 2001 ex / 93.74 s, batch-1 reference
+# Bound on FIRST device contact. The axon tunnel can go down for hours, in
+# which state jax.devices() blocks indefinitely (round 3 lost its entire
+# driver bench slot to rc=124 with no JSON line, BENCH_r03.json). A dead
+# tunnel must degrade to a parseable *_synthetic CPU number, never a hang.
+DEVICE_PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", 150))
 MAX_DECODING_STEPS = 120              # all_experiments.sh test setting
 # Default from the measured batch sweep (documentation/perf_round2.txt):
 # 512 -> 165k ex/s, 1024 -> 226k, 2048 -> 373k, 4096 -> 382k (early-exit).
@@ -44,6 +50,32 @@ def _log(msg):
     print(msg, file=sys.stderr)
 
 
+def _device_backend_alive():
+    """True iff the default jax backend answers a tiny computation within
+    DEVICE_PROBE_TIMEOUT_S. Probed in a SUBPROCESS because a wedged axon
+    tunnel blocks inside jax.devices() with no Python-level escape; the
+    parent process must stay un-initialized so it can still flip to the CPU
+    backend afterwards (jax.config.update is a no-op once a backend exists).
+    """
+    code = ("import jax, jax.numpy as jnp; "
+            "print(jax.devices()); "
+            "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
+            "print('PROBE_OK')")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=DEVICE_PROBE_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        _log("bench: device probe timed out after {}s — backend unreachable"
+             .format(DEVICE_PROBE_TIMEOUT_S))
+        return False
+    if proc.returncode == 0 and "PROBE_OK" in proc.stdout:
+        return True
+    _log("bench: device probe failed (rc={}): {}".format(
+        proc.returncode, (proc.stderr or proc.stdout).strip()[-400:]))
+    return False
+
+
 def _time_decoder(decoder, params, batches, counts, repeats=3, windows=5):
     """counts[i] = REAL examples in batch i (excludes zero-padded rows the
     final batch may carry), so the reported examples/s is not inflated.
@@ -51,21 +83,27 @@ def _time_decoder(decoder, params, batches, counts, repeats=3, windows=5):
     Times ``windows`` independent passes of ``repeats`` full sweeps each and
     reports the fastest window (the timeit rule: on a shared host the minimum
     time is the reproducible statistic — slower windows measure tunnel/host
-    contention, not the program)."""
+    contention, not the program). Round-2 figures (382k/506k in
+    PERFORMANCE.md/perf_round2.txt) were SINGLE-window; the mean across
+    windows is logged alongside so cross-round comparisons have an
+    apples-to-apples statistic."""
     import jax
 
     outs = [decoder(params, *b) for b in batches]  # compile + warm-up
     jax.block_until_ready(outs[-1].tokens)
     n_examples = repeats * sum(counts)
-    best = 0.0
+    rates = []
     for _ in range(windows):
         start = time.perf_counter()
         for _ in range(repeats):
             for b in batches:
                 out = decoder(params, *b)
         jax.block_until_ready(out.tokens)
-        best = max(best, n_examples / (time.perf_counter() - start))
-    return best, outs
+        rates.append(n_examples / (time.perf_counter() - start))
+    if len(rates) > 1:
+        _log("bench:   windows best {:.0f} / mean {:.0f} ex/s".format(
+            max(rates), sum(rates) / len(rates)))
+    return max(rates), outs
 
 
 def _real_workload():
@@ -173,17 +211,34 @@ def _exact_match(config, outs, target_lists):
 
 
 def main():
+    global BATCH_SIZE, MAX_EXAMPLES
+
+    degraded = not _device_backend_alive()
+    if degraded:
+        # Dead tunnel: flip THIS process to the CPU backend before any jax
+        # use (env vars are too late under the sitecustomize preload; the
+        # config update is the documented escape hatch) and shrink the
+        # workload so a parseable number still lands within ~2 min.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        BATCH_SIZE = min(BATCH_SIZE, 256)
+        MAX_EXAMPLES = min(MAX_EXAMPLES, 256)
+        _log("bench: DEGRADED MODE — device backend unreachable, running the "
+             "synthetic workload on CPU (batch {})".format(BATCH_SIZE))
+
     from multimodal_seq2seq_gscan_tpu.decode.greedy import (
         DEFAULT_DECODE_IMPL, make_greedy_decoder)
 
-    try:
-        workload = _real_workload()
-        if workload is None:
-            _log("bench: trained artifacts missing — synthetic fallback")
-    except Exception as exc:  # e.g. checkpoint/vocab artifacts out of sync
-        _log("bench: failed to load trained artifacts ({}: {}) — synthetic "
-             "fallback".format(type(exc).__name__, exc))
-        workload = None
+    workload = None
+    if not degraded:
+        try:
+            workload = _real_workload()
+            if workload is None:
+                _log("bench: trained artifacts missing — synthetic fallback")
+        except Exception as exc:  # e.g. checkpoint/vocab artifacts desynced
+            _log("bench: failed to load trained artifacts ({}: {}) — "
+                 "synthetic fallback".format(type(exc).__name__, exc))
+            workload = None
     synthetic = workload is None
     if synthetic:
         workload = _synthetic_workload()
@@ -191,6 +246,20 @@ def main():
 
     early = make_greedy_decoder(config, MAX_DECODING_STEPS, early_exit=True,
                                 exit_check_every=EXIT_CHECK_EVERY)
+
+    if degraded:
+        # One decoder, one window, one sweep: just produce a valid line fast.
+        early_rate, _ = _time_decoder(early, params, batches, counts,
+                                      repeats=1, windows=1)
+        print(json.dumps({
+            "metric": "greedy_decode_throughput_synthetic",
+            "value": round(early_rate, 2),
+            "unit": "examples/s",
+            "vs_baseline": round(early_rate / BASELINE_EXAMPLES_PER_SECOND,
+                                 2),
+        }))
+        return
+
     fixed = make_greedy_decoder(config, MAX_DECODING_STEPS, early_exit=False)
 
     early_rate, outs = _time_decoder(early, params, batches, counts)

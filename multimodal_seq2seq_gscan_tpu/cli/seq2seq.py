@@ -170,10 +170,27 @@ def build_parser() -> argparse.ArgumentParser:
                              "train/resident.py). 1 = per-step host-streamed "
                              "batches. Rounded down to divide "
                              "print_every/evaluate_every.")
+    parser.add_argument("--chunk_layout", type=str, default="full",
+                        choices=["full", "stratified"],
+                        help="Resident-chunk index layout: 'full' teacher-"
+                             "forces every step at the global max target "
+                             "width (the layout all EM-parity campaigns "
+                             "trained with); 'stratified' slices each chunk "
+                             "into width-matched segments (~2.2x faster "
+                             "device chunks, per-step loss-exact; awaiting "
+                             "a full-scale TPU EM-parity run).")
     return parser
 
 
 def main(flags=None):
+    if os.environ.get("GSCAN_JAX_PLATFORM"):
+        # Escape hatch for scripted CPU smoke runs: sitecustomize preloads
+        # jax with the TPU platform selected, so JAX_PLATFORMS in a wrapper
+        # script is too late — jax.config.update before first backend use is
+        # the documented way to re-select (tests/conftest.py does the same).
+        import jax
+        jax.config.update("jax_platforms",
+                          os.environ["GSCAN_JAX_PLATFORM"])
     if flags is None:
         flags = vars(build_parser().parse_args())
     for argument, value in flags.items():

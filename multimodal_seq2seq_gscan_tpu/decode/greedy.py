@@ -100,7 +100,17 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
                        or not config.conditional_attention
                        or compute_dtype is not None):
         # The fused kernel covers the flagship single-layer conditional f32
-        # configuration; everything else uses the general XLA path.
+        # configuration; everything else uses the general XLA path. Say so —
+        # a silent fallback would let perf comparisons attribute XLA numbers
+        # to the pallas impl.
+        import logging
+        logging.getLogger(__name__).warning(
+            "decode_impl='pallas' requested but unsupported for this "
+            "configuration (mesh=%s, num_decoder_layers=%d, "
+            "conditional_attention=%s, compute_dtype=%s); falling back to "
+            "the XLA decoder step.", mesh is not None,
+            config.num_decoder_layers, config.conditional_attention,
+            compute_dtype)
         use_pallas = False
     cast_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
@@ -145,7 +155,10 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
         if use_pallas:
             from multimodal_seq2seq_gscan_tpu.ops.pallas_decoder import (
                 fused_decode_block, pack_decoder_weights)
-            weights = pack_decoder_weights(params, config.target_pad_idx)
+            # loop_params/command_mask (not params/encoded.command_mask) so
+            # the pallas branch tracks the cast logic if the compute_dtype
+            # guard above is ever relaxed.
+            weights = pack_decoder_weights(loop_params, config.target_pad_idx)
             interpret = jax.default_backend() != "tpu"
             block = max(1, min(exit_check_every, num_steps))
             num_blocks = -(-num_steps // block)
@@ -156,7 +169,7 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
 
             def run_block(h, c, tokens, done):
                 return fused_decode_block(
-                    projected_textual, encoded.command_mask, projected_visual,
+                    projected_textual, command_mask, projected_visual,
                     h, c, tokens, done, weights, num_steps=block,
                     sos_idx=config.target_sos_idx,
                     eos_idx=config.target_eos_idx, interpret=interpret)

@@ -945,7 +945,11 @@ class GroundedScan:
                         in_examples = False
                     continue
                 if line.startswith('    "examples": {'):
-                    in_examples = True
+                    # A one-line empty block ('"examples": {}' or '{},') is
+                    # self-closing — entering skip mode on it would swallow
+                    # every following header key until the next '    },'.
+                    in_examples = line.rstrip("\n").rstrip(",") != \
+                        '    "examples": {}'
                     continue
                 header_lines.append(line)
         all_data = json.loads("".join(header_lines))

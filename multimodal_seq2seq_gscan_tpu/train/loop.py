@@ -33,7 +33,8 @@ def _train_resident(state, training_set, config, optimizer, train_step,
                     weight_target_loss, mesh, start_iteration,
                     max_training_iterations, training_batch_size,
                     steps_per_execution, print_every, evaluate_every,
-                    epoch_rng, profiler, log_metrics, run_evaluation):
+                    epoch_rng, profiler, log_metrics, run_evaluation,
+                    chunk_layout="full"):
     """Device-resident scanned training (see train/resident.py).
 
     The whole training split lives on device; each device call runs K
@@ -41,10 +42,18 @@ def _train_resident(state, training_set, config, optimizer, train_step,
     blocks. K is aligned so print/eval boundaries land on chunk ends;
     misaligned prefixes (resume from an arbitrary iteration) and the final
     sub-chunk tail run as plain single steps.
+
+    ``chunk_layout`` picks the index-block stream: "full" (every step
+    teacher-forces at the global max target width — the layout every
+    EM-parity campaign through round 3 trained with) or "stratified"
+    (width-sliced segments per chunk, train/resident.py:220 — per-step
+    loss-exact on CPU, 2.2x faster device chunks, pending a full-scale
+    TPU EM-parity run before it can be the default).
     """
     from multimodal_seq2seq_gscan_tpu.train.resident import (
         build_resident_data, gather_batch, host_resident_data,
-        make_train_chunk, resolve_chunk_size, stratified_index_block_stream)
+        index_block_stream, make_train_chunk, resolve_chunk_size,
+        stratified_index_block_stream)
 
     k = resolve_chunk_size(steps_per_execution, print_every, evaluate_every)
     chunk_fn = make_train_chunk(config, optimizer,
@@ -52,8 +61,15 @@ def _train_resident(state, training_set, config, optimizer, train_step,
                                 mesh=mesh)
     host_data = host_resident_data(training_set)
     data = build_resident_data(training_set, mesh=mesh)
-    blocks = stratified_index_block_stream(host_data.target_lengths,
-                                           training_batch_size, k, epoch_rng)
+    if chunk_layout == "stratified":
+        blocks = stratified_index_block_stream(
+            host_data.target_lengths, training_batch_size, k, epoch_rng)
+    elif chunk_layout == "full":
+        blocks = ((block, None) for block in index_block_stream(
+            training_set.num_examples, training_batch_size, k, epoch_rng))
+    else:
+        raise ValueError("chunk_layout must be 'full' or 'stratified', got "
+                         "{!r}".format(chunk_layout))
     pending = []  # rows from a partially-consumed block (prefix/tail steps)
 
     def take_row():
@@ -143,7 +159,8 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
           max_testing_examples=None, evaluation_batch_size: int = 256,
           profile_dir: str = "", prefetch_depth: int = 3,
           steps_per_execution: int = 50,
-          teacher_forced_impl: str = "xla", **kwargs):
+          teacher_forced_impl: str = "xla",
+          chunk_layout: str = "full", **kwargs):
     logger.info("Loading Training set...")
     training_set = GroundedScanDataset(
         data_path, data_directory, split="train",
@@ -287,7 +304,8 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
             steps_per_execution=steps_per_execution,
             print_every=print_every, evaluate_every=evaluate_every,
             epoch_rng=epoch_rng, profiler=profiler,
-            log_metrics=log_metrics, run_evaluation=run_evaluation)
+            log_metrics=log_metrics, run_evaluation=run_evaluation,
+            chunk_layout=chunk_layout)
         profiler.close()
         logger.info("Finished training.")
         return state, config

@@ -38,6 +38,26 @@ def test_header_matches_full_loader(saved_dataset, tmp_path):
     assert header.num_examples("train") == 0  # no examples were read
 
 
+def test_header_loader_one_line_empty_examples(saved_dataset, tmp_path):
+    """A one-line '"examples": {},' block is self-closing; the skip state
+    machine must not swallow the vocabulary keys that follow it."""
+    import json
+    import os
+
+    _, path = saved_dataset
+    with open(path) as f:
+        data = json.load(f)
+    data["examples"] = {}
+    empty_path = os.path.join(str(tmp_path), "empty_examples.txt")
+    with open(empty_path, "w") as f:
+        json.dump(data, f, indent=4)
+    header = GroundedScan.load_dataset_header(empty_path, str(tmp_path))
+    full = GroundedScan.load_dataset_header(path, str(tmp_path))
+    assert (header._vocabulary.to_representation()
+            == full._vocabulary.to_representation())
+    assert header._world.grid_size == full._world.grid_size
+
+
 def test_analysis_identical_via_header_loader(saved_dataset, tmp_path):
     dataset, path = saved_dataset
     example = dataset._data_pairs["test"][0]

@@ -1,0 +1,109 @@
+"""CPU smoke tests for the queued TPU session scripts' plumbing.
+
+Round 3 queued `scripts/round3_tpu_session.sh` behind a multi-hour tunnel
+outage; a flag typo or path bug would have burned the whole TPU window when
+it finally ran. These tests drive the actual bash scripts end-to-end on a
+tiny generated dataset with the CPU backend (GSCAN_JAX_PLATFORM=cpu — the
+sitecustomize jax preload makes JAX_PLATFORMS too late), so every CLI
+invocation, grep, and artifact path in the scripts executes for real.
+"""
+
+import json
+import os
+import random
+import subprocess
+
+import numpy as np
+import pytest
+
+from multimodal_seq2seq_gscan_tpu.cli import gscan as gscan_cli
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Small model + small batches so each scripted CLI subprocess finishes in
+# seconds on the CPU backend.
+TINY_MODEL_FLAGS = (
+    "--embedding_dimension=12 --encoder_hidden_size=16 "
+    "--decoder_hidden_size=16 --cnn_kernel_size=3 "
+    "--cnn_hidden_num_channels=8 --test_batch_size=32 "
+    "--max_training_examples=64 --steps_per_execution=4 "
+    "--compilation_cache_dir=")
+
+
+@pytest.fixture(scope="module")
+def tiny_data_dir(tmp_path_factory):
+    directory = str(tmp_path_factory.mktemp("session_data"))
+    random.seed(7)
+    np.random.seed(7)
+    flags = {a.dest: a.default for a in gscan_cli.build_parser()._actions
+             if a.dest != "help"}
+    flags.update(
+        mode="generate", output_directory=directory, split="uniform",
+        grid_size=6, num_resampling=1, max_examples=200,
+        intransitive_verbs="walk", transitive_verbs="push", adverbs="",
+        nouns="circle,square", color_adjectives="red,green",
+        size_adjectives="big,small", type_grammar="normal",
+        make_dev_set=True, visualize_per_template=0)
+    gscan_cli.main(flags)
+    assert os.path.exists(os.path.join(directory, "dataset.txt"))
+    return directory
+
+
+def _script_env(data_dir, tmp_path, **overrides):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update(
+        GSCAN_JAX_PLATFORM="cpu",
+        R3_DATA=data_dir,
+        R3_LOG=str(tmp_path / "perf_log.txt"),
+        R3_ITERS="6", R3_EVAL="3", R3_PRINT="3", R3_BATCH="32",
+        R3_EXTRA=TINY_MODEL_FLAGS)
+    env.update(overrides)
+    return env
+
+
+def test_round3_session_script_smoke(tiny_data_dir, tmp_path):
+    run_dir = str(tmp_path / "run")
+    env = _script_env(
+        tiny_data_dir, tmp_path, R3_SKIP_PERF="1", R3_RUN=run_dir,
+        R3_SPLITS="test,dev",
+        R3_TRAINLOG_DIR=str(tmp_path / "training_logs"),
+        R3_RESULTS=str(tmp_path / "results.json"))
+    proc = subprocess.run(
+        ["bash", "scripts/round3_tpu_session.sh"], cwd=REPO_ROOT, env=env,
+        capture_output=True, text=True, timeout=600)
+    train_log = tmp_path / "training_logs" / "run.txt"
+    assert proc.returncode == 0, (
+        proc.stderr[-2000:] + "\n" +
+        (train_log.read_text()[-2000:] if train_log.exists() else ""))
+    # Training ran through the stratified resident path and checkpointed.
+    assert os.path.exists(os.path.join(run_dir, "checkpoint.msgpack"))
+    assert os.path.exists(os.path.join(run_dir, ".done"))
+    assert "Finished training" in train_log.read_text()
+    # Test mode predicted both splits and the summary JSON parsed them.
+    assert os.path.exists(os.path.join(run_dir, ".tested"))
+    for split in ("test", "dev"):
+        with open(os.path.join(run_dir, split + "_predict.json")) as f:
+            assert len(json.load(f)) > 0
+    with open(tmp_path / "results.json") as f:
+        rows = json.load(f)
+    assert {row["split"] for row in rows} >= {"test", "dev"}
+    # The session log recorded both section banners.
+    log_text = (tmp_path / "perf_log.txt").read_text()
+    assert "stratified run" in log_text
+    assert "session done" in log_text
+
+
+def test_round3_stratified_perf_script_smoke(tiny_data_dir, tmp_path):
+    env = _script_env(tiny_data_dir, tmp_path, R3_SKIP_BENCH="1",
+                      R3_SKIP_PALLAS="1")
+    proc = subprocess.run(
+        ["bash", "scripts/round3_stratified_perf.sh"], cwd=REPO_ROOT,
+        env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    log_text = (tmp_path / "perf_log.txt").read_text()
+    assert "teacher_forced=xla" in log_text
+    assert "full-width run" in log_text
+    # Both training subprocesses ran to completion and the grep captured
+    # their evaluation lines into the session log.
+    assert log_text.count("Evaluation Accuracy") >= 2
