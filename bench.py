@@ -20,6 +20,19 @@ of the decoded batches go to stderr so BENCH and PERFORMANCE.md can't drift
 apart. Falls back to synthetic data/params (metric name suffixed
 "_synthetic") only if the artifacts are missing.
 
+Methodology (round 4, supersedes the round-2/3 figures): batches are
+jax.device_put ONCE and each timed call runs BENCH_CHAIN back-to-back full
+decodes inside one compiled program (lax.scan with a data dependence), with
+the median window reported. Two measured reasons (scripts/probe_latency.py,
+documentation/perf_round4.txt): (a) the axon tunnel's host->device bandwidth
+swings ~10x (down to ~100 MB/s), so host-fed timing measures the tunnel, not
+the decoder; (b) per-dispatch overhead (~58 ms during bad tunnel epochs)
+pinned EVERY variant at the same rate, and blocking on the tokens output
+alone can return before the [B, S, M] attention buffers finish
+materializing, which inflated the round-2/3 "best window" figures
+(382k-539k ex/s) — the chained number is sustained throughput with every
+output buffer forced.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -43,7 +56,10 @@ MAX_DECODING_STEPS = 120              # all_experiments.sh test setting
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH_SIZE", 4096))
 MAX_EXAMPLES = int(os.environ.get("BENCH_MAX_EXAMPLES", 4096))
 # Early-exit done-check block size (decoder steps per lax.cond block).
-EXIT_CHECK_EVERY = int(os.environ.get("BENCH_EXIT_CHECK_EVERY", 8))
+# 32 measured fastest (133.7k/137.6k/137.9k ex/s at 8/16/32, decode_ab.py).
+EXIT_CHECK_EVERY = int(os.environ.get("BENCH_EXIT_CHECK_EVERY", 32))
+# Full decodes per compiled call: amortizes per-dispatch tunnel overhead.
+BENCH_CHAIN = int(os.environ.get("BENCH_CHAIN", 30))
 
 
 def _log(msg):
@@ -76,34 +92,89 @@ def _device_backend_alive():
     return False
 
 
-def _time_decoder(decoder, params, batches, counts, repeats=3, windows=5):
+def make_chained_decoder(decoder, k, compiler_options=None):
+    """One compiled call = ``k`` sequential full decodes of a batch.
+
+    The scan carry is the previous decode's OUTPUT BUFFERS plus a
+    token-derived flag the next decode's input depends on (``where(tok < 0,
+    ...)`` — never true, but not provable at compile time), so XLA can
+    neither loop-hoist the body nor dead-code the [B, S, M] attention stacks
+    the real evaluation path materializes every call. This turns per-call
+    dispatch overhead (measured at ~58 ms through a degraded tunnel — larger
+    than the decode itself) into a 1/k term.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    # A nested jit may not carry compiler_options (the pallas variant's
+    # scoped-VMEM bump) — unwrap it and hoist the options out here.
+    decoder = getattr(decoder, "__wrapped__", decoder)
+
+    def run(params, input_ids, input_lengths, situations, target_positions):
+        def body(carry, _):
+            tok, _, _ = carry
+            ids = jnp.where(tok[0, 0] < 0, input_ids + 1, input_ids)
+            out = decoder(params, ids, input_lengths, situations,
+                          target_positions)
+            return (out.tokens, out.attention_commands,
+                    out.attention_situations), None
+
+        out0 = decoder(params, input_ids, input_lengths, situations,
+                       target_positions)
+        carry, _ = lax.scan(
+            body, (out0.tokens, out0.attention_commands,
+                   out0.attention_situations), None, length=k - 1)
+        return carry[0]
+
+    return jax.jit(run, compiler_options=compiler_options)
+
+
+def _time_decoder(decoder, params, batches, counts, windows=5,
+                  chain=None, compiler_options=None):
     """counts[i] = REAL examples in batch i (excludes zero-padded rows the
     final batch may carry), so the reported examples/s is not inflated.
 
-    Times ``windows`` independent passes of ``repeats`` full sweeps each and
-    reports the fastest window (the timeit rule: on a shared host the minimum
-    time is the reproducible statistic — slower windows measure tunnel/host
-    contention, not the program). Round-2 figures (382k/506k in
-    PERFORMANCE.md/perf_round2.txt) were SINGLE-window; the mean across
-    windows is logged alongside so cross-round comparisons have an
-    apples-to-apples statistic."""
+    Inputs are device_put once; each window is one chained call of ``chain``
+    full decodes; the MEDIAN window is reported (with best/mean logged).
+    See the module docstring for why this supersedes the round-2/3 host-fed
+    best-of-windows methodology."""
     import jax
 
-    outs = [decoder(params, *b) for b in batches]  # compile + warm-up
+    chain = BENCH_CHAIN if chain is None else chain
+    outs = [decoder(params, *b) for b in batches]  # compile + EM outputs
     jax.block_until_ready(outs[-1].tokens)
-    n_examples = repeats * sum(counts)
+    dev_batches = [tuple(jax.device_put(a) for a in b) for b in batches]
+    jax.block_until_ready(dev_batches)
+    fn = (make_chained_decoder(decoder, chain, compiler_options)
+          if chain > 1 else decoder)
+    last = fn(params, *dev_batches[0])  # compile the chained program
+    jax.block_until_ready(last)
+
+    def _fence(out):
+        # End-of-window fence: a tiny device->host read instead of (only)
+        # block_until_ready — on the axon backend block_until_ready has been
+        # observed returning early in some tunnel states (a chained 30-decode
+        # program "finished" in 0.68 ms), and a real dependent read cannot
+        # lie. A few bytes, so tunnel bandwidth doesn't contaminate timing.
+        tokens = getattr(out, "tokens", out)
+        np.asarray(jax.device_get(tokens[:1, :1]))
+
+    n_examples = chain * sum(counts)
     rates = []
     for _ in range(windows):
         start = time.perf_counter()
-        for _ in range(repeats):
-            for b in batches:
-                out = decoder(params, *b)
-        jax.block_until_ready(out.tokens)
+        for b in dev_batches:
+            last = fn(params, *b)
+        _fence(last)
         rates.append(n_examples / (time.perf_counter() - start))
+    rates.sort()
+    median = rates[len(rates) // 2]
     if len(rates) > 1:
-        _log("bench:   windows best {:.0f} / mean {:.0f} ex/s".format(
-            max(rates), sum(rates) / len(rates)))
-    return max(rates), outs
+        _log("bench:   windows median {:.0f} / best {:.0f} / mean {:.0f} "
+             "ex/s (chain {})".format(median, max(rates),
+                                      sum(rates) / len(rates), chain))
+    return median, outs
 
 
 def _real_workload():
@@ -248,9 +319,10 @@ def main():
                                 exit_check_every=EXIT_CHECK_EVERY)
 
     if degraded:
-        # One decoder, one window, one sweep: just produce a valid line fast.
+        # One decoder, one window, no chaining: just produce a valid line
+        # fast on the CPU fallback.
         early_rate, _ = _time_decoder(early, params, batches, counts,
-                                      repeats=1, windows=1)
+                                      windows=1, chain=1)
         print(json.dumps({
             "metric": "greedy_decode_throughput_synthetic",
             "value": round(early_rate, 2),
@@ -287,10 +359,15 @@ def main():
     # PERFORMANCE.md record both sides of the xla/pallas choice.
     other_impl = "pallas" if DEFAULT_DECODE_IMPL == "xla" else "xla"
     try:
+        import jax
         other = make_greedy_decoder(config, MAX_DECODING_STEPS,
                                     early_exit=True, decode_impl=other_impl,
                                     exit_check_every=EXIT_CHECK_EVERY)
-        other_rate, _ = _time_decoder(other, params, batches, counts)
+        opts = ({"xla_tpu_scoped_vmem_limit_kib": "32768"}
+                if other_impl == "pallas" and jax.default_backend() == "tpu"
+                else None)
+        other_rate, _ = _time_decoder(other, params, batches, counts,
+                                      compiler_options=opts)
         _log("bench: [{}] early-exit {:.0f} ex/s".format(other_impl,
                                                          other_rate))
     except Exception as exc:

@@ -48,14 +48,19 @@ class GreedyDecodeOutput(NamedTuple):
 
 # The shipped default decoder-step implementation ("xla" or "pallas"): what
 # evaluation (decode/predict.py) and the bench headline actually run. Chosen
-# from measured TPU numbers in documentation/PERFORMANCE.md.
+# from measured TPU numbers: the pallas fused decode block compiles and runs
+# on the real chip under the raised scoped-VMEM limit but sustains only
+# 89.6k ex/s vs the XLA path's 137.9k at batch 4096 (decode_ab.py, round 4)
+# — XLA's own fusion of the small-matmul decoder step wins, same verdict as
+# the fused teacher-forced attention kernel. "pallas" stays available as an
+# experimental opt-in (--decode_impl).
 DEFAULT_DECODE_IMPL = "xla"
 
 
 @lru_cache(maxsize=8)
 def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
                         early_exit: bool = True, mesh=None,
-                        exit_check_every: int = 8,
+                        exit_check_every: int = 32,
                         decode_impl: Optional[str] = None,
                         compute_dtype: Optional[str] = None):
     """Build a jitted batched greedy decoder.
@@ -76,6 +81,13 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
     the fixed-length scan at large batches on buffer traffic alone (493k vs
     539k ex/s at batch 4096) even when it executed half the steps.
 
+    The ``exit_check_every=32`` default and ``early_exit=True`` are both
+    measured on the real chip with dispatch-amortized, device-resident,
+    interleaved A/B timing (scripts/decode_ab.py, batch 4096, trained
+    fixture): early-exit 133.7k/137.6k/137.9k ex/s sustained at block
+    8/16/32 vs fixed-120's 112.3k — the cond-skip wins by ~23% and the
+    block-size curve is flat past 16 (documentation/perf_round4.txt).
+
     With ``mesh``, parameters are replicated and every batch-leading array
     (inputs and outputs) is sharded over the mesh's 'data' axis — the decode
     counterpart of ``make_train_step(..., mesh=)``; the early-exit
@@ -90,6 +102,9 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
     steps), so halving their bytes attacks the measured bandwidth bound
     directly. Emitted tokens stay int32; attention weights are cast back to
     f32 on output. Opt-in: default f32 keeps bit-parity with the reference.
+    Measured (decode_ab.py, batch 4096, block 32): 190.7k ex/s sustained vs
+    137.9k f32 (+38%), with fixture dev EM 99.22% vs f32's 99.27% — a real
+    (tiny) quality delta, which is why it stays opt-in.
     """
     num_steps = max_decoding_steps + 1  # reference loops while iter <= max.
 

@@ -54,8 +54,8 @@ def main():
     times.sort()
     mb = batch.nbytes / 1e6
     print("h2d {:.1f} MB: min {:.1f} ms ({:.0f} MB/s), median {:.1f} ms "
-          "({:.0f} MB/s)".format(mb, times[0] * 1e3, mb / times[0] / 1e3,
-                                 times[3] * 1e3, mb / times[3] / 1e3),
+          "({:.0f} MB/s)".format(mb, times[0] * 1e3, mb / times[0],
+                                 times[3] * 1e3, mb / times[3]),
           flush=True)
 
     # -- 3/4. decode compute vs end-to-end ---------------------------------

@@ -107,3 +107,57 @@ def test_round3_stratified_perf_script_smoke(tiny_data_dir, tmp_path):
     # Both training subprocesses ran to completion and the grep captured
     # their evaluation lines into the session log.
     assert log_text.count("Evaluation Accuracy") >= 2
+
+
+def _r4_env(data_dir, tmp_path, **overrides):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update(
+        GSCAN_JAX_PLATFORM="cpu",
+        R4_DATA=data_dir,
+        R4_LOG=str(tmp_path / "perf_log.txt"),
+        R4_ITERS="6", R4_TENK_ITERS="4", R4_EVAL="3", R4_TENK_EVAL="2",
+        R4_PRINT="2", R4_BATCH="32",
+        R4_EXTRA=TINY_MODEL_FLAGS)
+    env.update(overrides)
+    return env
+
+
+def test_round4_session_script_smoke(tiny_data_dir, tmp_path):
+    run_dir = str(tmp_path / "run4")
+    env = _r4_env(
+        tiny_data_dir, tmp_path, R4_SKIP_BENCH="1", R4_SKIP_PALLAS="1",
+        R4_RUN=run_dir, R4_SPLITS="test,dev",
+        R4_TRAINLOG_DIR=str(tmp_path / "training_logs"),
+        R4_RESULTS=str(tmp_path / "results.json"))
+    proc = subprocess.run(
+        ["bash", "scripts/round4_tpu_session.sh"], cwd=REPO_ROOT, env=env,
+        capture_output=True, text=True, timeout=600)
+    train_log = tmp_path / "training_logs" / "run4.txt"
+    assert proc.returncode == 0, (
+        proc.stderr[-2000:] + "\n" +
+        (train_log.read_text()[-2000:] if train_log.exists() else ""))
+    assert os.path.exists(os.path.join(run_dir, "checkpoint.msgpack"))
+    assert os.path.exists(os.path.join(run_dir, ".done"))
+    assert os.path.exists(os.path.join(run_dir, ".tested"))
+    with open(tmp_path / "results.json") as f:
+        rows = json.load(f)
+    assert {row["split"] for row in rows} >= {"test", "dev"}
+    log_text = (tmp_path / "perf_log.txt").read_text()
+    # The 10k sub-runs (stratified xla + full-width control) both logged.
+    assert "teacher_forced=xla" in log_text
+    assert "full-width control" in log_text
+    assert "session done" in log_text
+
+
+def test_round4_session_script_dataset_guard(tmp_path):
+    """Missing dataset.txt must fail fast with the regeneration command —
+    the Aug 19 between-rounds session burned its TPU window on exactly
+    this (data/*/dataset.txt is gitignored)."""
+    env = _r4_env(str(tmp_path / "nonexistent"), tmp_path)
+    proc = subprocess.run(
+        ["bash", "scripts/round4_tpu_session.sh"], cwd=REPO_ROOT, env=env,
+        capture_output=True, text=True, timeout=60)
+    assert proc.returncode == 1
+    assert "Regenerate first" in proc.stdout
+    assert "--make_dev_set" in proc.stdout
