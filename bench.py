@@ -38,6 +38,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -73,7 +74,9 @@ def _device_backend_alive():
     parent process must stay un-initialized so it can still flip to the CPU
     backend afterwards (jax.config.update is a no-op once a backend exists).
     """
-    code = ("import jax, jax.numpy as jnp; "
+    code = ("import os, jax, jax.numpy as jnp; "
+            "p = os.environ.get('GSCAN_JAX_PLATFORM'); "
+            "p and jax.config.update('jax_platforms', p); "
             "print(jax.devices()); "
             "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
             "print('PROBE_OK')")
@@ -281,9 +284,33 @@ def _exact_match(config, outs, target_lists):
     return 100.0 * matched / max(total, 1)
 
 
+class _Deadline(BaseException):
+    """Raised by SIGALRM when the wall-clock budget is exhausted.
+
+    BaseException so the per-variant ``except Exception`` fallbacks in
+    _run_variants cannot swallow it — a wedge during the bf16/pallas
+    variants must still end the run with a JSON line."""
+
+
+def _emit(metric, rate):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(rate, 2),
+        "unit": "examples/s",
+        "vs_baseline": round(rate / BASELINE_EXAMPLES_PER_SECOND, 2),
+    }))
+
+
 def main():
     global BATCH_SIZE, MAX_EXAMPLES
 
+    if os.environ.get("GSCAN_JAX_PLATFORM"):
+        # Same escape hatch as cli/seq2seq.py: force a backend before first
+        # jax use (the sitecustomize preload makes JAX_PLATFORMS too late).
+        # Lets the full non-degraded bench path run on CPU for testing.
+        import jax
+        jax.config.update("jax_platforms",
+                          os.environ["GSCAN_JAX_PLATFORM"])
     degraded = not _device_backend_alive()
     if degraded:
         # Dead tunnel: flip THIS process to the CPU backend before any jax
@@ -323,18 +350,49 @@ def main():
         # fast on the CPU fallback.
         early_rate, _ = _time_decoder(early, params, batches, counts,
                                       windows=1, chain=1)
-        print(json.dumps({
-            "metric": "greedy_decode_throughput_synthetic",
-            "value": round(early_rate, 2),
-            "unit": "examples/s",
-            "vs_baseline": round(early_rate / BASELINE_EXAMPLES_PER_SECOND,
-                                 2),
-        }))
+        _emit("greedy_decode_throughput_synthetic", early_rate)
         return
 
+    # The probe only guards a DEAD tunnel; a live tunnel can still wedge
+    # mid-run (observed Aug 19: a healthy bench completed, the next one hung
+    # 8+ min at 1% CPU). A wall-clock alarm turns that into either a valid
+    # headline from whatever was measured before the wedge, or an explicit
+    # *_wedged line — never an rc=124 with no JSON.
+    metric = "greedy_decode_throughput"
+    if synthetic:
+        metric += "_synthetic"
+    deadline_s = int(os.environ.get("BENCH_DEADLINE_S", 480))
+    signal.signal(signal.SIGALRM,
+                  lambda signum, frame: (_ for _ in ()).throw(_Deadline()))
+    signal.alarm(deadline_s)
+    try:
+        early_rate = _run_variants(config, params, batches, counts,
+                                   target_lists)
+        signal.alarm(0)
+    except _Deadline:
+        _log("bench: DEADLINE ({}s) hit mid-measurement — tunnel wedge; "
+             "emitting what was measured".format(deadline_s))
+        early_rate = _PARTIAL.get("early_rate")
+        if early_rate is None:
+            _emit(metric + "_wedged", 0.0)
+            return
+    _emit(metric, early_rate)
+
+
+# Partial results visible to the deadline handler in main().
+_PARTIAL = {}
+
+
+def _run_variants(config, params, batches, counts, target_lists):
+    from multimodal_seq2seq_gscan_tpu.decode.greedy import (
+        DEFAULT_DECODE_IMPL, make_greedy_decoder)
+
+    early = make_greedy_decoder(config, MAX_DECODING_STEPS, early_exit=True,
+                                exit_check_every=EXIT_CHECK_EVERY)
     fixed = make_greedy_decoder(config, MAX_DECODING_STEPS, early_exit=False)
 
     early_rate, outs = _time_decoder(early, params, batches, counts)
+    _PARTIAL["early_rate"] = early_rate
     fixed_rate, _ = _time_decoder(fixed, params, batches, counts)
     _log("bench: [{}] early-exit {:.0f} ex/s, fixed-120 {:.0f} ex/s".format(
         DEFAULT_DECODE_IMPL, early_rate, fixed_rate))
@@ -376,16 +434,7 @@ def main():
     if target_lists is not None:
         _log("bench: dev exact match of decoded output: {:.2f}%".format(
             _exact_match(config, outs, target_lists)))
-
-    metric = "greedy_decode_throughput"
-    if synthetic:
-        metric += "_synthetic"
-    print(json.dumps({
-        "metric": metric,
-        "value": round(early_rate, 2),
-        "unit": "examples/s",
-        "vs_baseline": round(early_rate / BASELINE_EXAMPLES_PER_SECOND, 2),
-    }))
+    return early_rate
 
 
 if __name__ == "__main__":

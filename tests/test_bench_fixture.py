@@ -112,3 +112,40 @@ def test_bf16_decode_matches_f32_on_trained_model():
     assert disagree <= 1, (
         "{} / {} sequences differ between f32 and bf16 decode".format(
             disagree, len(seqs32)))
+
+
+def _run_bench(tmp_env):
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update(GSCAN_JAX_PLATFORM="cpu", BENCH_BATCH_SIZE="64",
+               BENCH_MAX_EXAMPLES="64", BENCH_CHAIN="3", **tmp_env)
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    proc = subprocess.run([sys.executable, "bench.py"], cwd=repo, env=env,
+                          capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_bench_deadline_mid_run_still_emits_headline():
+    """A tunnel wedge mid-measurement (simulated by a 25 s deadline on CPU,
+    which lands after the early-exit variant is timed but before the rest
+    finish) must emit the measured headline, not rc=124 with no JSON —
+    round 3 lost its whole driver bench slot to exactly that."""
+    line = _run_bench({"BENCH_DEADLINE_S": "25"})
+    assert line["unit"] == "examples/s"
+    assert line["metric"].startswith("greedy_decode_throughput")
+    # Either the headline was measured in time (value > 0) or the run
+    # wedged before any measurement (explicit *_wedged marker, value 0).
+    if line["metric"].endswith("_wedged"):
+        assert line["value"] == 0.0
+    else:
+        assert line["value"] > 0
+
+
+def test_bench_deadline_immediate_wedge_marker():
+    line = _run_bench({"BENCH_DEADLINE_S": "2"})
+    assert line["metric"].endswith(("_wedged", "_synthetic")) or \
+        line["value"] > 0
