@@ -179,6 +179,20 @@ def build_parser() -> argparse.ArgumentParser:
                              "into width-matched segments (~2.2x faster "
                              "device chunks, per-step loss-exact; awaiting "
                              "a full-scale TPU EM-parity run).")
+    parser.add_argument("--stratified_widths", type=str, default="",
+                        help="Comma-separated class boundaries for "
+                             "--chunk_layout=stratified (e.g. '32': classes "
+                             "{<=32, rest}); empty = round lengths up to "
+                             "multiples of 16.")
+    parser.add_argument("--stratified_wide_mix", type=float, default=0.0,
+                        help="Fraction of every widest-class batch backfilled "
+                             "with random shorter examples (0 disables). "
+                             "Keeps the rare long examples training in mixed "
+                             "batches instead of segregated ones.")
+    parser.add_argument("--stratified_interleave", dest="stratified_interleave",
+                        action="store_true", default=False,
+                        help="Spread each width class's steps round-robin "
+                             "through the chunk instead of ascending runs.")
     return parser
 
 

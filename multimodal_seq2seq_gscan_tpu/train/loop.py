@@ -34,7 +34,7 @@ def _train_resident(state, training_set, config, optimizer, train_step,
                     max_training_iterations, training_batch_size,
                     steps_per_execution, print_every, evaluate_every,
                     epoch_rng, profiler, log_metrics, run_evaluation,
-                    chunk_layout="full"):
+                    chunk_layout="full", stratified_options=None):
     """Device-resident scanned training (see train/resident.py).
 
     The whole training split lives on device; each device call runs K
@@ -63,7 +63,8 @@ def _train_resident(state, training_set, config, optimizer, train_step,
     data = build_resident_data(training_set, mesh=mesh)
     if chunk_layout == "stratified":
         blocks = stratified_index_block_stream(
-            host_data.target_lengths, training_batch_size, k, epoch_rng)
+            host_data.target_lengths, training_batch_size, k, epoch_rng,
+            **(stratified_options or {}))
     elif chunk_layout == "full":
         blocks = ((block, None) for block in index_block_stream(
             training_set.num_examples, training_batch_size, k, epoch_rng))
@@ -160,7 +161,9 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
           profile_dir: str = "", prefetch_depth: int = 3,
           steps_per_execution: int = 50,
           teacher_forced_impl: str = "xla",
-          chunk_layout: str = "full", **kwargs):
+          chunk_layout: str = "full", stratified_widths: str = "",
+          stratified_wide_mix: float = 0.0,
+          stratified_interleave: bool = False, **kwargs):
     logger.info("Loading Training set...")
     training_set = GroundedScanDataset(
         data_path, data_directory, split="train",
@@ -305,7 +308,11 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
             print_every=print_every, evaluate_every=evaluate_every,
             epoch_rng=epoch_rng, profiler=profiler,
             log_metrics=log_metrics, run_evaluation=run_evaluation,
-            chunk_layout=chunk_layout)
+            chunk_layout=chunk_layout, stratified_options=dict(
+                cuts=tuple(int(w) for w in str(stratified_widths).split(",")
+                           if str(w).strip()) or None,
+                wide_mix=float(stratified_wide_mix),
+                interleave=bool(stratified_interleave)))
         profiler.close()
         logger.info("Finished training.")
         return state, config

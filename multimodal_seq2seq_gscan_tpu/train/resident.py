@@ -184,43 +184,107 @@ def index_block_stream(num_examples: int, batch_size: int,
             block.reshape(steps_per_block, batch_size).astype(np.int32))
 
 
-def _class_widths(target_lengths: np.ndarray, width_multiple: int
-                  ) -> Tuple[np.ndarray, int]:
-    """Per-example width class: length rounded up to ``width_multiple``,
-    capped at the global max length."""
+def _class_widths(target_lengths: np.ndarray, width_multiple: int,
+                  cuts=None) -> Tuple[np.ndarray, int]:
+    """Per-example width class.
+
+    Default: length rounded up to ``width_multiple``, capped at the global
+    max length.  With ``cuts`` (sorted ints): the smallest cut >= length,
+    else the global max — e.g. ``cuts=(32,)`` yields the two-class scheme
+    {<=32, rest} whose wide class can be mixing-backfilled (``wide_mix``).
+    """
     lengths = np.maximum(np.asarray(target_lengths), 1)
     t_max = int(lengths.max())
+    if cuts:
+        widths = np.full(lengths.shape, t_max, dtype=np.int64)
+        for cut in sorted(cuts, reverse=True):
+            if cut < t_max:
+                widths[lengths <= cut] = cut
+        return widths, t_max
     return np.minimum(t_max, -(-lengths // width_multiple)
                       * width_multiple).astype(np.int64), t_max
 
 
+def _interleave_spec(spec: Tuple[Tuple[int, int], ...], rounds: int = 4
+                     ) -> Tuple[Tuple[int, int], ...]:
+    """Spread each class's step allocation over ``rounds`` round-robin
+    passes (ascending width within each pass) so wide-batch updates are
+    distributed through the chunk instead of bunched at its end.  Counts
+    per class are preserved exactly; classes whose allocation is smaller
+    than ``rounds`` appear in fewer passes."""
+    out = []
+    remaining = {w: c for c, w in spec}
+    order = [w for _, w in spec]
+    for r in range(rounds):
+        for w in order:
+            left = remaining[w]
+            if left <= 0:
+                continue
+            take = -(-left // (rounds - r))  # ceil split of the remainder
+            remaining[w] -= take
+            out.append((take, w))
+    return tuple(out)
+
+
 def chunk_segment_spec(target_lengths: np.ndarray, steps_per_block: int,
-                       width_multiple: int = 16) -> Tuple[Tuple[int, int], ...]:
+                       width_multiple: int = 16, cuts=None,
+                       wide_mix: float = 0.0, interleave: bool = False
+                       ) -> Tuple[Tuple[int, int], ...]:
     """Static ``((count, width), ...)`` segments for one [K, B] train chunk,
     widths ascending, counts summing to K.
 
     Each chunk mirrors the dataset's target-length distribution: class j
-    (lengths rounded up to ``width_multiple``) gets ``floor(K * fraction_j)``
-    of the chunk's K batches, and the widest class absorbs the remainder, so
-    every K-step device call sees the full length mix.  (A length-SORTED
-    chunk stream was measured to destroy training — dev EM 2.2 vs 27.9 at
-    4k iterations — because ~85% of examples are short, so sorted chunks
-    produce hundreds-of-steps runs without a single long-sequence update.)
-    Classes whose floor is 0 get no segment; their examples ride along in
-    wider segments (always exact — a segment only requires width >= every
-    row's length).
+    (lengths rounded up to ``width_multiple``, or binned by ``cuts``) gets
+    ``floor(K * fraction_j)`` of the chunk's K batches, and the widest class
+    absorbs the remainder, so every K-step device call sees the full length
+    mix.  (A length-SORTED chunk stream was measured to destroy training —
+    dev EM 2.2 vs 27.9 at 4k iterations — because ~85% of examples are
+    short, so sorted chunks produce hundreds-of-steps runs without a single
+    long-sequence update.)  Classes whose floor is 0 get no segment; their
+    examples ride along in wider segments (always exact — a segment only
+    requires width >= every row's length).
+
+    ``wide_mix`` in (0, 1) inflates the widest class's allocation to
+    ``K * fraction / (1 - wide_mix)`` steps so the stream can backfill that
+    share of every wide batch with random shorter examples: the rare long
+    examples then always train in mixed batches instead of segregated ones
+    (the round-4 200k run showed fully width-homogeneous batches plateau
+    ~1.4 dev-EM below full-width training).  ``interleave`` spreads each
+    class's steps round-robin through the chunk instead of ascending runs.
     """
-    widths, _ = _class_widths(target_lengths, width_multiple)
+    widths, _ = _class_widths(target_lengths, width_multiple, cuts)
     classes, counts = np.unique(widths, return_counts=True)
-    alloc = np.floor(counts / counts.sum() * steps_per_block).astype(int)
-    alloc[-1] += steps_per_block - int(alloc.sum())  # widest absorbs the rest
-    return tuple((int(a), int(w)) for a, w in zip(alloc, classes) if a > 0)
+    fractions = counts / counts.sum()
+    if wide_mix and len(classes) > 1:
+        if not 0.0 < wide_mix < 1.0:
+            raise ValueError("wide_mix must be in (0, 1), got %r" % wide_mix)
+        # ceil: per-epoch wide-row capacity must be >= the wide class's
+        # supply, otherwise the wide pool grows without bound across epochs
+        # (the own-take cap below stops wide segments from draining it).
+        wide_steps = int(math.ceil(steps_per_block * fractions[-1]
+                                   / (1.0 - wide_mix)))
+        wide_steps = min(max(wide_steps, 1), steps_per_block - 1)
+        rest = steps_per_block - wide_steps
+        alloc = np.floor(fractions[:-1] / fractions[:-1].sum()
+                         * rest).astype(int)
+        # largest-remainder rounding for the shorter classes
+        remainders = fractions[:-1] / fractions[:-1].sum() * rest - alloc
+        for j in np.argsort(-remainders)[:rest - int(alloc.sum())]:
+            alloc[j] += 1
+        alloc = np.concatenate([alloc, [wide_steps]])
+    else:
+        alloc = np.floor(fractions * steps_per_block).astype(int)
+        alloc[-1] += steps_per_block - int(alloc.sum())  # widest takes rest
+    spec = tuple((int(a), int(w)) for a, w in zip(alloc, classes) if a > 0)
+    return _interleave_spec(spec) if interleave else spec
 
 
 def stratified_index_block_stream(target_lengths: np.ndarray, batch_size: int,
                                   steps_per_block: int,
                                   rng: Optional[np.random.Generator] = None,
-                                  width_multiple: int = 16
+                                  width_multiple: int = 16, cuts=None,
+                                  wide_mix: float = 0.0,
+                                  interleave: bool = False
                                   ) -> Iterator[tuple]:
     """Endless ``([K, B] int32 block, segment spec)`` pairs.
 
@@ -236,15 +300,22 @@ def stratified_index_block_stream(target_lengths: np.ndarray, batch_size: int,
 
     Segments are filled from their own length class first, then backfilled
     from shorter classes (exact: a row only needs width >= its length).
-    When the remaining examples cannot fill a block (fewer than K*B left, or
-    only over-long examples remain for some segment), the leftovers carry
-    into the next epoch's pools and are consumed first.
+    With ``wide_mix`` the widest class's own-pool take is capped at
+    ``(1 - wide_mix) * need`` per segment, so EVERY wide batch carries
+    ~``wide_mix`` random shorter examples (without the cap the own-first
+    rule would saturate early chunks with longs and leave later chunks'
+    wide segments all-short).  When the remaining examples cannot fill a
+    block (fewer than K*B left, or only over-long examples remain for some
+    segment), the leftovers carry into the next epoch's pools and are
+    consumed first.
     """
     if rng is None:
         rng = np.random.default_rng()
     target_lengths = np.asarray(target_lengths)
-    widths, _ = _class_widths(target_lengths, width_multiple)
-    spec = chunk_segment_spec(target_lengths, steps_per_block, width_multiple)
+    widths, _ = _class_widths(target_lengths, width_multiple, cuts)
+    spec = chunk_segment_spec(target_lengths, steps_per_block, width_multiple,
+                              cuts, wide_mix, interleave)
+    widest = max(w for _, w in spec)
     class_of = {w: np.flatnonzero(widths == w) for w in np.unique(widths)}
     pools = {w: np.empty((0,), np.int64) for w in class_of}
     while True:
@@ -258,14 +329,21 @@ def stratified_index_block_stream(target_lengths: np.ndarray, batch_size: int,
             feasible = True
             for count, width in spec:
                 need = count * batch_size
+                own_cap = need
+                if wide_mix and width == widest:
+                    own_cap = need - int(round(need * wide_mix))
                 rows = []
-                # own class first, then widest-to-shortest of the shorter
+                # own class first (capped), then widest-to-shortest of the
+                # shorter classes
                 for w in sorted((w for w in pools if w <= width),
                                 key=lambda w: (w != width, -w)):
                     avail = pools[w].size - taken[w]
-                    if avail <= 0:
+                    want = need - sum(r.size for r in rows)
+                    if w == width:
+                        want = min(want, own_cap)
+                    grab = min(want, avail)
+                    if grab <= 0:
                         continue
-                    grab = min(need - sum(r.size for r in rows), avail)
                     rows.append(pools[w][taken[w]:taken[w] + grab])
                     taken[w] += grab
                     if sum(r.size for r in rows) == need:

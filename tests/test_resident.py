@@ -263,3 +263,84 @@ class _FakeSet:
 
     def _ensure_packed(self):
         pass
+
+
+def test_chunk_segment_spec_cuts_and_wide_mix():
+    from multimodal_seq2seq_gscan_tpu.train.resident import chunk_segment_spec
+
+    rng = np.random.RandomState(11)
+    lengths = np.concatenate([rng.randint(3, 33, 920),
+                              rng.randint(33, 105, 80)]).astype(np.int32)
+    spec = chunk_segment_spec(lengths, steps_per_block=50, cuts=(32,))
+    assert [w for _, w in spec] == [32, int(lengths.max())]
+    assert sum(c for c, _ in spec) == 50
+
+    mixed = chunk_segment_spec(lengths, steps_per_block=50, cuts=(32,),
+                               wide_mix=0.5)
+    assert sum(c for c, _ in mixed) == 50
+    # widest allocation inflated: ceil(50 * 0.08 / 0.5) = 8 steps
+    assert dict((w, c) for c, w in mixed)[int(lengths.max())] == 8
+
+
+def test_interleaved_spec_spreads_wide_steps():
+    from multimodal_seq2seq_gscan_tpu.train.resident import chunk_segment_spec
+
+    rng = np.random.RandomState(3)
+    lengths = np.concatenate([rng.randint(3, 17, 660),
+                              rng.randint(17, 33, 250),
+                              rng.randint(33, 80, 90)]).astype(np.int32)
+    plain = chunk_segment_spec(lengths, 50, width_multiple=16)
+    inter = chunk_segment_spec(lengths, 50, width_multiple=16,
+                               interleave=True)
+    # same per-class totals, spread over multiple passes
+    totals = {}
+    for c, w in inter:
+        totals[w] = totals.get(w, 0) + c
+    assert totals == {w: c for c, w in plain}
+    assert sum(c for c, _ in inter) == 50
+    widths_seq = [w for _, w in inter]
+    # the dominant class appears in at least 3 separate runs
+    assert widths_seq.count(widths_seq[0]) >= 3
+
+
+def test_stratified_stream_wide_mix_every_chunk():
+    """With wide_mix=0.5 every chunk's wide segment must carry roughly half
+    shorter examples — including late chunks of the epoch (the naive
+    own-class-first fill saturates early chunks with longs and leaves the
+    later ones all-short)."""
+    from multimodal_seq2seq_gscan_tpu.train.resident import (
+        stratified_index_block_stream)
+
+    rng = np.random.RandomState(13)
+    n, batch, k = 4000, 8, 10
+    lengths = np.concatenate([rng.randint(3, 33, 3680),
+                              rng.randint(33, 100, 320)]).astype(np.int32)
+    stream = stratified_index_block_stream(lengths, batch, k,
+                                           np.random.default_rng(4),
+                                           cuts=(32,), wide_mix=0.5)
+    wide_fracs, seen = [], []
+    blocks_per_epoch = n // (batch * k)
+    for _ in range(3 * blocks_per_epoch):
+        block, spec = next(stream)
+        assert sum(c for c, _ in spec) == k
+        offset = 0
+        for count, width in spec:
+            seg = block[offset:offset + count]
+            assert lengths[seg].max() <= width
+            if width == max(w for _, w in spec):
+                wide_fracs.append(float(np.mean(lengths[seg] > 32)))
+            offset += count
+        seen.append(block.ravel())
+    # long examples present in most chunks' wide segments (the ceil'd
+    # allocation deliberately over-provisions, so the wide pool dries out
+    # for the last ~20% of each epoch's chunks), never the whole segment,
+    # and the average occupancy tracks supply/capacity * wide_mix
+    assert np.mean([f > 0 for f in wide_fracs]) >= 0.75
+    assert max(wide_fracs) <= 0.75
+    assert 0.2 <= np.mean(wide_fracs) <= 0.55
+    # exactly-once-per-epoch-horizon coverage still holds
+    flat = np.concatenate(seen)
+    per_epoch = blocks_per_epoch * batch * k
+    for epoch in range(3):
+        window = flat[epoch * per_epoch:(epoch + 1) * per_epoch]
+        assert len(np.unique(window)) == per_epoch

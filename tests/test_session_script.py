@@ -161,3 +161,48 @@ def test_round4_session_script_dataset_guard(tmp_path):
     assert proc.returncode == 1
     assert "Regenerate first" in proc.stdout
     assert "--make_dev_set" in proc.stdout
+
+
+def _r4b_env(data_dir, tmp_path, **overrides):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update(
+        GSCAN_JAX_PLATFORM="cpu",
+        R4B_DATA=data_dir,
+        R4B_LOG=str(tmp_path / "perf_log.txt"),
+        R4B_ITERS="6", R4B_TENK_ITERS="4", R4B_EVAL="3", R4B_TENK_EVAL="2",
+        R4B_PRINT="2", R4B_BATCH="32",
+        R4B_TRAINLOG_DIR=str(tmp_path / "training_logs"),
+        R4B_TMP=str(tmp_path / "r4b_tmp"),
+        R4B_EXTRA=TINY_MODEL_FLAGS)
+    env.update(overrides)
+    return env
+
+
+def test_round4b_session_script_smoke(tiny_data_dir, tmp_path):
+    """Drives all three phases: the full-width control, the four stratified
+    variant A/Bs (cuts / wide_mix / interleave flags all exercised through
+    the real CLI), and the winner run + test."""
+    control = str(tmp_path / "ctrl")
+    winner = str(tmp_path / "winner")
+    env = _r4b_env(
+        tiny_data_dir, tmp_path, R4B_CONTROL_RUN=control,
+        R4B_RUN=winner, R4B_SPLITS="test,dev",
+        R4B_WINNER_EXTRA="--chunk_layout=stratified --stratified_widths=8 "
+                         "--stratified_wide_mix=0.5")
+    proc = subprocess.run(
+        ["bash", "scripts/round4b_tpu_session.sh"], cwd=REPO_ROOT, env=env,
+        capture_output=True, text=True, timeout=1500)
+    ctrl_log = tmp_path / "training_logs" / "ctrl.txt"
+    assert proc.returncode == 0, (
+        proc.stderr[-2000:] + "\n" +
+        (ctrl_log.read_text()[-2000:] if ctrl_log.exists() else ""))
+    for run_dir in (control, winner):
+        assert os.path.exists(os.path.join(run_dir, ".done"))
+        assert os.path.exists(os.path.join(run_dir, ".tested"))
+        with open(os.path.join(run_dir, "dev_predict.json")) as f:
+            assert len(json.load(f)) > 0
+    log_text = (tmp_path / "perf_log.txt").read_text()
+    for banner in ("FULL-width control", "widths=32 wide_mix=0.5",
+                   "interleaved", "winner run", "session done"):
+        assert banner in log_text, banner
