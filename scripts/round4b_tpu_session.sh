@@ -43,6 +43,8 @@ TLOG=${R4B_TRAINLOG_DIR:-documentation/training_logs}
 TMPD=${R4B_TMP:-/tmp}
 WINNER_EXTRA=${R4B_WINNER_EXTRA:-}
 RUN=${R4B_RUN:-}
+SEED=${R4B_SEED:-66}
+RESULTS_DIR=${R4B_RESULTS_DIR:-documentation}
 
 if [ ! -f "$D/dataset.txt" ]; then
   echo "FATAL: $D/dataset.txt missing (gitignored — lost on fresh checkouts)."
@@ -64,7 +66,7 @@ train_full () {  # rundir logname extra...
   $S --mode=train --data_directory="$D" --output_directory="$rundir" \
     --conditional_attention --no_auxiliary_task \
     --training_batch_size="$BATCH" \
-    --max_training_iterations="$ITERS" --seed=66 --generate_vocabularies \
+    --max_training_iterations="$ITERS" --seed="$SEED" --generate_vocabularies \
     --evaluate_every="$EVAL" --print_every="$PRINT" \
     --max_testing_examples=2000 \
     --max_decoding_steps=120 "${resume[@]}" "$@" $EXTRA \
@@ -97,7 +99,7 @@ if [ -z "${R4B_SKIP_CONTROL:-}" ]; then
   if [ ! -f "$CONTROL_RUN/.tested" ]; then
     echo "--- full-split test of the full-width control ---" >> "$L"
     test_full "$CONTROL_RUN" "$(basename "$CONTROL_RUN")" \
-      "documentation/results_$(basename "$CONTROL_RUN").json"
+      "$RESULTS_DIR/results_$(basename "$CONTROL_RUN").json"
     touch "$CONTROL_RUN/.tested"
   fi
 fi
@@ -143,7 +145,7 @@ if [ -n "$RUN" ] && [ -n "$WINNER_EXTRA" ]; then
   fi
   if [ ! -f "$RUN/.tested" ]; then
     echo "--- full-split test of $NAME ---" >> "$L"
-    test_full "$RUN" "$NAME" "documentation/results_$NAME.json"
+    test_full "$RUN" "$NAME" "$RESULTS_DIR/results_$NAME.json"
     touch "$RUN/.tested"
   fi
 fi

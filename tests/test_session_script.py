@@ -173,6 +173,7 @@ def _r4b_env(data_dir, tmp_path, **overrides):
         R4B_ITERS="6", R4B_TENK_ITERS="4", R4B_EVAL="3", R4B_TENK_EVAL="2",
         R4B_PRINT="2", R4B_BATCH="32",
         R4B_TRAINLOG_DIR=str(tmp_path / "training_logs"),
+        R4B_RESULTS_DIR=str(tmp_path),
         R4B_TMP=str(tmp_path / "r4b_tmp"),
         R4B_EXTRA=TINY_MODEL_FLAGS)
     env.update(overrides)
