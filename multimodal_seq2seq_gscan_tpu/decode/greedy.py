@@ -105,6 +105,15 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
     Measured (decode_ab.py, batch 4096, block 32): 190.7k ex/s sustained vs
     137.9k f32 (+38%), with fixture dev EM 99.22% vs f32's 99.27% — a real
     (tiny) quality delta, which is why it stays opt-in.
+
+    ``compute_dtype="bfloat16_mixed"`` is the same bf16 loop except the two
+    output-projection matrices (``output_to_hidden_w`` [4H, H] and
+    ``hidden_to_output_w`` [H, V]) stay f32, so the pre-argmax logits are
+    computed in f32 (bf16 @ f32 promotes). The hypothesis: the pure-bf16
+    EM delta comes from argmax near-ties in 8-mantissa-bit logits, not from
+    LSTM-state drift, and the head matrices are tiny (H=100, V~9) so keeping
+    them f32 costs almost none of the bandwidth win (the per-step bound is
+    the [B, 36+16, 100] projected-key reads, still bf16 here).
     """
     num_steps = max_decoding_steps + 1  # reference loops while iter <= max.
 
@@ -127,7 +136,11 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
             config.num_decoder_layers, config.conditional_attention,
             compute_dtype)
         use_pallas = False
-    cast_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
+    mixed_head = compute_dtype == "bfloat16_mixed"
+    if mixed_head:
+        cast_dtype = jnp.bfloat16
+    else:
+        cast_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
     def greedy_decode(params: ModelParams, input_ids, input_lengths, situations,
                       target_positions) -> GreedyDecodeOutput:
@@ -145,6 +158,14 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
             loop_params, projected_textual, projected_visual, command_mask, \
                 hidden = _cast((params, projected_textual, projected_visual,
                                 encoded.command_mask, hidden))
+            if mixed_head:
+                # f32 output head: bf16 activations @ f32 weights promote,
+                # so the logits (and the argmax) are f32 while every
+                # bandwidth-heavy per-step read stays bf16.
+                loop_params = loop_params._replace(
+                    decoder=loop_params.decoder._replace(
+                        output_to_hidden_w=params.decoder.output_to_hidden_w,
+                        hidden_to_output_w=params.decoder.hidden_to_output_w))
         batch = input_ids.shape[0]
         start_tokens = jnp.full((batch,), config.target_sos_idx, jnp.int32)
         done0 = jnp.zeros((batch,), jnp.bool_)

@@ -65,6 +65,8 @@ def main():
         "bf16ee32": dict(early_exit=True, exit_check_every=32,
                          compute_dtype="bfloat16"),
         "bf16fixed": dict(early_exit=False, compute_dtype="bfloat16"),
+        "mixed32": dict(early_exit=True, exit_check_every=32,
+                        compute_dtype="bfloat16_mixed"),
         "pallas8": dict(early_exit=True, exit_check_every=8,
                         decode_impl="pallas"),
         "pallas32": dict(early_exit=True, exit_check_every=32,

@@ -113,6 +113,21 @@ def test_bf16_decode_matches_f32_on_trained_model():
         "{} / {} sequences differ between f32 and bf16 decode".format(
             disagree, len(seqs32)))
 
+    # The mixed variant (bf16 loop, f32 output head) must be sequence-
+    # IDENTICAL: the pure-bf16 disagreements come from argmax near-ties in
+    # 8-mantissa-bit logits, which the f32 head removes (CPU check on 512
+    # fixture examples: bf16 flips 1, mixed flips 0).
+    mixed = make_greedy_decoder(config, max_decoding_steps=120,
+                                early_exit=True,
+                                compute_dtype="bfloat16_mixed")
+    outm = mixed(state.params, *args)
+    assert outm.attention_commands.dtype == np.float32
+    seqsm, _ = strip_output_sequences(outm, config.target_eos_idx)
+    disagree_m = sum(a != b for a, b in zip(seqs32, seqsm))
+    assert disagree_m == 0, (
+        "{} / {} sequences differ between f32 and bfloat16_mixed decode"
+        .format(disagree_m, len(seqs32)))
+
 
 def _run_bench(tmp_env):
     import subprocess
