@@ -208,3 +208,45 @@ def test_round4b_session_script_smoke(tiny_data_dir, tmp_path):
     log_text = (tmp_path / "perf_log.txt").read_text()
     for banner in ("FULL-width control", "winner run", "session done"):
         assert banner in log_text, banner
+
+
+def test_round4c_decode_session_script_smoke(tiny_data_dir, tmp_path):
+    """Drives scripts/round4c_decode_session.sh end-to-end on CPU: a tiny
+    training produces the checkpoint, then both test-mode decodes (f32 and
+    bfloat16_mixed) and the prediction diff run through the real CLI.  The
+    identity rc is recorded, not asserted — a 6-iteration model's logits
+    are near-ties, so bf16 flips are expected at this scale."""
+    run_dir = str(tmp_path / "run")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update(GSCAN_JAX_PLATFORM="cpu")
+    train = subprocess.run(
+        ["python", "-m", "multimodal_seq2seq_gscan_tpu.cli.seq2seq",
+         "--mode=train", f"--data_directory={tiny_data_dir}",
+         f"--output_directory={run_dir}", "--conditional_attention",
+         "--no_auxiliary_task", "--training_batch_size=32",
+         "--max_training_iterations=6", "--seed=66",
+         "--generate_vocabularies", "--evaluate_every=6", "--print_every=3",
+         "--max_testing_examples=32", "--max_decoding_steps=20"]
+        + TINY_MODEL_FLAGS.split(),
+        cwd=REPO_ROOT, env=env, capture_output=True, text=True, timeout=600)
+    assert train.returncode == 0, train.stderr[-2000:]
+    env.update(
+        R4C_DATA=tiny_data_dir,
+        R4C_LOG=str(tmp_path / "perf_log.txt"),
+        R4C_RUN=run_dir, R4C_SPLITS="dev", R4C_SKIP_AB="1",
+        R4C_TMP=str(tmp_path / "r4c_tmp"),
+        R4C_EXTRA=TINY_MODEL_FLAGS + " --max_decoding_steps=20")
+    proc = subprocess.run(
+        ["bash", "scripts/round4c_decode_session.sh"], cwd=REPO_ROOT,
+        env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    for dt in ("float32", "bfloat16_mixed"):
+        pred = tmp_path / "r4c_tmp" / f"identity_{dt}" / "dev_predict.json"
+        assert pred.exists(), proc.stderr[-2000:]
+        with open(pred) as f:
+            assert len(json.load(f)) > 0
+    log_text = (tmp_path / "perf_log.txt").read_text()
+    assert "prediction identity" in log_text
+    assert "identity rc=" in log_text
+    assert "session done" in log_text
