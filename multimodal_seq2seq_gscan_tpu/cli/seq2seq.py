@@ -175,16 +175,21 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["full", "stratified"],
                         help="Resident-chunk index layout: 'full' teacher-"
                              "forces every step at the global max target "
-                             "width (the layout all EM-parity campaigns "
-                             "trained with); 'stratified' slices each chunk "
-                             "into width-matched segments (~2.2x faster "
-                             "device chunks, per-step loss-exact; awaiting "
-                             "a full-scale TPU EM-parity run).")
-    parser.add_argument("--stratified_widths", type=str, default="",
+                             "width (the reference-exact trajectory every "
+                             "EM-parity campaign trained with); 'stratified' "
+                             "slices each chunk into width-matched segments "
+                             "— with the default two-class {<=32, rest} "
+                             "cut it trains ~2x faster at the same final "
+                             "dev EM (200k seed-matrix validation in "
+                             "documentation/PERFORMANCE.md round-4).")
+    parser.add_argument("--stratified_widths", type=str, default="32",
                         help="Comma-separated class boundaries for "
-                             "--chunk_layout=stratified (e.g. '32': classes "
-                             "{<=32, rest}); empty = round lengths up to "
-                             "multiples of 16.")
+                             "--chunk_layout=stratified. Default '32' = the "
+                             "validated coarse two-class {<=32, rest} "
+                             "layout; 'x16' = round lengths up to multiples "
+                             "of 16 (fine-grained; fastest chunks but a "
+                             "measured quality regression at 200k — "
+                             "width-homogeneous batches are non-iid).")
     parser.add_argument("--stratified_wide_mix", type=float, default=0.0,
                         help="Fraction of every widest-class batch backfilled "
                              "with random shorter examples (0 disables). "
