@@ -138,12 +138,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "Pallas whole-unroll kernel pair (single-chip, "
                              "single-layer conditional decoder).")
     parser.add_argument("--decode_dtype", type=str, default="float32",
-                        choices=["float32", "bfloat16", "bfloat16_mixed"],
+                        choices=["float32", "bfloat16", "bfloat16_mixed",
+                                 "bfloat16_keys"],
                         help="Greedy-decode loop dtype. bfloat16 halves the "
                              "per-step attention-key HBM traffic (encoder "
                              "stays f32); bfloat16_mixed additionally keeps "
-                             "the output head (logits) in f32; float32 "
-                             "keeps reference bit-parity.")
+                             "the output head (logits) in f32; "
+                             "bfloat16_keys stores ONLY the projected key "
+                             "tensors in bf16 (all arithmetic f32); "
+                             "float32 keeps reference bit-parity.")
     parser.add_argument("--conditional_attention",
                         dest="conditional_attention", default=True,
                         action="store_true",

@@ -137,7 +137,8 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
             compute_dtype)
         use_pallas = False
     mixed_head = compute_dtype == "bfloat16_mixed"
-    if mixed_head:
+    keys_only = compute_dtype == "bfloat16_keys"
+    if mixed_head or keys_only:
         cast_dtype = jnp.bfloat16
     else:
         cast_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
@@ -150,7 +151,16 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
         hidden = initialize_decoder_hidden(params, config, encoded.hidden)
         command_mask = encoded.command_mask
         loop_params = params
-        if cast_dtype is not None:
+        if keys_only:
+            # bf16 STORAGE of the per-step HBM-traffic bound (the two
+            # projected key tensors, [B, 36+16, H] re-read all ~121 steps);
+            # every other operand and all arithmetic stay f32. On TPU the
+            # dots truncate their operands to bf16 at default precision
+            # anyway, so the only numerics this changes vs pure f32 is the
+            # elementwise key add inside the additive-attention energy.
+            projected_textual = projected_textual.astype(cast_dtype)
+            projected_visual = projected_visual.astype(cast_dtype)
+        elif cast_dtype is not None:
             def _cast(tree):
                 return jax.tree.map(
                     lambda x: x.astype(cast_dtype)
@@ -248,7 +258,10 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
             padded_steps = num_blocks * block
             m_t = projected_textual.shape[1]
             m_v = projected_visual.shape[1]
-            attn_dtype = projected_textual.dtype
+            # keys_only stores keys in bf16 but every attention output is
+            # promoted back to f32, so the skip branch must match f32.
+            attn_dtype = (jnp.float32 if keys_only
+                          else projected_textual.dtype)
 
             def run_blk(carry, start):
                 tokens, hidden, done = carry

@@ -67,6 +67,8 @@ def main():
         "bf16fixed": dict(early_exit=False, compute_dtype="bfloat16"),
         "mixed32": dict(early_exit=True, exit_check_every=32,
                         compute_dtype="bfloat16_mixed"),
+        "keys32": dict(early_exit=True, exit_check_every=32,
+                       compute_dtype="bfloat16_keys"),
         "pallas8": dict(early_exit=True, exit_check_every=8,
                         decode_impl="pallas"),
         "pallas32": dict(early_exit=True, exit_check_every=32,

@@ -26,6 +26,7 @@ SPLITS=${R4C_SPLITS:-dev,test}
 TMPD=${R4C_TMP:-/tmp/r4c_decode}
 EXTRA=${R4C_EXTRA:-}
 VARIANTS=${R4C_VARIANTS:-ee32,mixed32,bf16ee32}
+DTYPES=${R4C_DTYPES:-bfloat16_mixed}
 CHAIN=${R4C_CHAIN:-30}
 
 echo "=== round4c decode session $(date) ===" >> "$L"
@@ -46,7 +47,7 @@ fi
 BEST="$RUN/model_best.msgpack"
 [ -f "$BEST" ] || BEST="$RUN/checkpoint.msgpack"
 
-for dt in float32 bfloat16_mixed; do
+for dt in float32 ${DTYPES//,/ }; do
   OUT="$TMPD/identity_$dt"
   if [ ! -f "$OUT/.done" ]; then
     mkdir -p "$OUT"
@@ -61,11 +62,13 @@ for dt in float32 bfloat16_mixed; do
 done
 
 PAIRS=()
-for split in ${SPLITS//,/ }; do
-  PAIRS+=("$TMPD/identity_float32/${split}_predict.json"
-          "$TMPD/identity_bfloat16_mixed/${split}_predict.json")
+for dt in ${DTYPES//,/ }; do
+  for split in ${SPLITS//,/ }; do
+    PAIRS+=("$TMPD/identity_float32/${split}_predict.json"
+            "$TMPD/identity_$dt/${split}_predict.json")
+  done
 done
-echo "--- f32 vs bfloat16_mixed prediction identity ---" >> "$L"
+echo "--- f32 vs {$DTYPES} prediction identity ---" >> "$L"
 python scripts/compare_predictions.py "${PAIRS[@]}" >> "$L" 2>&1
 echo "identity rc=$?" >> "$L"
 

@@ -117,16 +117,16 @@ def test_bf16_decode_matches_f32_on_trained_model():
     # IDENTICAL: the pure-bf16 disagreements come from argmax near-ties in
     # 8-mantissa-bit logits, which the f32 head removes (CPU check on 512
     # fixture examples: bf16 flips 1, mixed flips 0).
-    mixed = make_greedy_decoder(config, max_decoding_steps=120,
-                                early_exit=True,
-                                compute_dtype="bfloat16_mixed")
-    outm = mixed(state.params, *args)
-    assert outm.attention_commands.dtype == np.float32
-    seqsm, _ = strip_output_sequences(outm, config.target_eos_idx)
-    disagree_m = sum(a != b for a, b in zip(seqs32, seqsm))
-    assert disagree_m == 0, (
-        "{} / {} sequences differ between f32 and bfloat16_mixed decode"
-        .format(disagree_m, len(seqs32)))
+    for dtype in ("bfloat16_mixed", "bfloat16_keys"):
+        variant = make_greedy_decoder(config, max_decoding_steps=120,
+                                      early_exit=True, compute_dtype=dtype)
+        outm = variant(state.params, *args)
+        assert outm.attention_commands.dtype == np.float32
+        seqsm, _ = strip_output_sequences(outm, config.target_eos_idx)
+        disagree_m = sum(a != b for a, b in zip(seqs32, seqsm))
+        assert disagree_m == 0, (
+            "{} / {} sequences differ between f32 and {} decode"
+            .format(disagree_m, len(seqs32), dtype))
 
 
 def _run_bench(tmp_env):
