@@ -24,14 +24,15 @@ def compare(path_a: str, path_b: str) -> int:
         print(f"{path_a} vs {path_b}: LENGTH MISMATCH "
               f"{len(recs_a)} vs {len(recs_b)}")
         return 1
-    key = lambda r: (r["input"], r["derivation"])
-    by_key = {key(r): r for r in recs_b}
+    # Both files come from the same deterministic split iteration, so
+    # compare positionally.  (input, derivation) is NOT a unique key — the
+    # same command recurs across situations.  Guard that the example order
+    # really is aligned before trusting the positional diff.
     pred_diff = em_diff = 0
-    for ra in recs_a:
-        rb = by_key.get(key(ra))
-        if rb is None:
-            pred_diff += 1
-            continue
+    for i, (ra, rb) in enumerate(zip(recs_a, recs_b)):
+        if ra["input"] != rb["input"] or ra["derivation"] != rb["derivation"]:
+            print(f"{path_a} vs {path_b}: EXAMPLE ORDER DIVERGES at row {i}")
+            return 1
         if ra["prediction"] != rb["prediction"]:
             pred_diff += 1
         if ra["exact_match"] != rb["exact_match"]:

@@ -248,5 +248,9 @@ def test_round4c_decode_session_script_smoke(tiny_data_dir, tmp_path):
             assert len(json.load(f)) > 0
     log_text = (tmp_path / "perf_log.txt").read_text()
     assert "prediction identity" in log_text
+    # The compare tool must have actually produced a per-pair report line —
+    # the first TPU run of this session crashed inside the compare (on a
+    # non-unique key) and the bare "identity rc=" assertion masked it.
+    assert "prediction_mismatches=" in log_text
     assert "identity rc=" in log_text
     assert "session done" in log_text
