@@ -20,9 +20,10 @@ of the decoded batches go to stderr so BENCH and PERFORMANCE.md can't drift
 apart. Falls back to synthetic data/params (metric name suffixed
 "_synthetic") only if the artifacts are missing.
 
-Methodology (round 4, supersedes the round-2/3 figures): batches are
+Methodology (round 5, supersedes the round-2/3/4 figures): batches are
 jax.device_put ONCE and each timed call runs BENCH_CHAIN back-to-back full
-decodes inside one compiled program (lax.scan with a data dependence), with
+decodes inside one compiled program (lax.scan whose next-iteration input
+depends on the previous iteration's tokens AND both attention stacks), with
 the median window reported. Two measured reasons (scripts/probe_latency.py,
 documentation/perf_round4.txt): (a) the axon tunnel's host->device bandwidth
 swings ~10x (down to ~100 MB/s), so host-fed timing measures the tunnel, not
@@ -31,7 +32,23 @@ pinned EVERY variant at the same rate, and blocking on the tokens output
 alone can return before the [B, S, M] attention buffers finish
 materializing, which inflated the round-2/3 "best window" figures
 (382k-539k ex/s) — the chained number is sustained throughput with every
-output buffer forced.
+output buffer forced. Round-5 correction: the round-4 chain's carry read
+only the token buffer, so XLA dead-coded the attention stacks out of the
+chain body (0 occurrences in the optimized HLO); the guard now folds one
+element of each attention stack into the next iteration's input and run()
+returns all three buffers, restoring the materialization the methodology
+note promises (tests/test_bench_fixture.py asserts the buffers survive in
+the optimized HLO).
+
+Wedge-proofing: the measurement runs in a KILLABLE CHILD process
+(BENCH_CHILD=1) with a host-side watchdog in the parent — a tunnel wedge
+blocks inside a single C++ call where a SIGALRM handler cannot fire, so an
+in-process alarm is not a real deadline. The child prints the headline JSON
+line as soon as the headline variant is measured (the remaining variants
+are stderr-only diagnostics), so a wedge mid-variants costs nothing. The
+child also wires the persistent XLA compilation cache (BENCH_CACHE_DIR,
+default ~/.cache/jax_gscan) so the ~6-10 min chained-decoder compiles
+amortize across driver captures instead of re-paying every run.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -98,13 +115,19 @@ def _device_backend_alive():
 def make_chained_decoder(decoder, k, compiler_options=None):
     """One compiled call = ``k`` sequential full decodes of a batch.
 
-    The scan carry is the previous decode's OUTPUT BUFFERS plus a
-    token-derived flag the next decode's input depends on (``where(tok < 0,
-    ...)`` — never true, but not provable at compile time), so XLA can
-    neither loop-hoist the body nor dead-code the [B, S, M] attention stacks
-    the real evaluation path materializes every call. This turns per-call
-    dispatch overhead (measured at ~58 ms through a degraded tunnel — larger
-    than the decode itself) into a 1/k term.
+    The scan carry is the previous decode's OUTPUT BUFFERS, and the next
+    decode's input depends on a guard folding one element of EACH of them —
+    the token ids and both [B, S, M] attention stacks (``tok[0,0] < 0`` or
+    ``attn[0,0,0] < -1`` — never true for softmax weights, but not provable
+    at compile time) — so XLA can neither loop-hoist the body nor dead-code
+    the attention stacks the real evaluation path materializes every call.
+    ``run`` returns all three final buffers so the last iteration's stacks
+    stay live too. (The round-4 version read only the token carry; the
+    optimized HLO showed XLA had eliminated the attention-stack
+    materialization from the whole chain, understating buffer traffic —
+    every chained number measured before round 5 has that distortion.)
+    This turns per-call dispatch overhead (measured at ~58 ms through a
+    degraded tunnel — larger than the decode itself) into a 1/k term.
     """
     import jax
     import jax.numpy as jnp
@@ -116,8 +139,12 @@ def make_chained_decoder(decoder, k, compiler_options=None):
 
     def run(params, input_ids, input_lengths, situations, target_positions):
         def body(carry, _):
-            tok, _, _ = carry
-            ids = jnp.where(tok[0, 0] < 0, input_ids + 1, input_ids)
+            tok, attn_cmd, attn_sit = carry
+            dep = jnp.logical_or(
+                tok[0, 0] < 0,
+                (attn_cmd[0, 0, 0] + attn_sit[0, 0, 0]).astype(jnp.float32)
+                < -1.0)
+            ids = jnp.where(dep, input_ids + 1, input_ids)
             out = decoder(params, ids, input_lengths, situations,
                           target_positions)
             return (out.tokens, out.attention_commands,
@@ -128,7 +155,7 @@ def make_chained_decoder(decoder, k, compiler_options=None):
         carry, _ = lax.scan(
             body, (out0.tokens, out0.attention_commands,
                    out0.attention_situations), None, length=k - 1)
-        return carry[0]
+        return carry
 
     return jax.jit(run, compiler_options=compiler_options)
 

@@ -22,6 +22,7 @@ shard from its local replica and XLA inserts the usual gradient all-reduce.
 """
 
 import math
+import warnings
 from typing import Iterator, NamedTuple, Optional, Tuple
 
 import jax
@@ -226,6 +227,39 @@ def _interleave_spec(spec: Tuple[Tuple[int, int], ...], rounds: int = 4
     return tuple(out)
 
 
+def _effective_wide_mix(fractions: np.ndarray, steps_per_block: int,
+                        wide_mix: float) -> float:
+    """Resolve the wide-mix knob against the block size.
+
+    The mixing scheme is only sound when the widest class's inflated
+    allocation ``ceil(K * fraction / (1 - wide_mix))`` fits in ``K - 1``
+    steps (at least one step must remain for the shorter classes, and the
+    ceil is the per-epoch capacity guarantee: clamping below it starves the
+    widest class — at ``K == 1`` it drops the widest class from the spec
+    entirely, the stream then can never fill a block, and round 4 shipped
+    exactly that livelock).  Degenerate configurations fall back to plain
+    stratification (wide_mix = 0) with a warning instead of clamping into
+    infeasibility, so the emitted spec ALWAYS contains a segment at least as
+    wide as the true widest non-empty class.
+    """
+    if not wide_mix or len(fractions) < 2:
+        return 0.0
+    if not 0.0 < wide_mix < 1.0:
+        raise ValueError("wide_mix must be in (0, 1), got %r" % wide_mix)
+    wide_steps = int(math.ceil(steps_per_block * fractions[-1]
+                               / (1.0 - wide_mix)))
+    if steps_per_block < 2 or wide_steps > steps_per_block - 1:
+        warnings.warn(
+            "stratified wide_mix=%g needs %d of %d block steps for the "
+            "widest class (plus >=1 for the rest); disabling wide_mix for "
+            "this run — raise steps_per_execution (or align "
+            "print_every/evaluate_every so the resolved chunk size is "
+            "larger) to use it" % (wide_mix, wide_steps, steps_per_block),
+            RuntimeWarning, stacklevel=3)
+        return 0.0
+    return wide_mix
+
+
 def chunk_segment_spec(target_lengths: np.ndarray, steps_per_block: int,
                        width_multiple: int = 16, cuts=None,
                        wide_mix: float = 0.0, interleave: bool = False
@@ -255,15 +289,14 @@ def chunk_segment_spec(target_lengths: np.ndarray, steps_per_block: int,
     widths, _ = _class_widths(target_lengths, width_multiple, cuts)
     classes, counts = np.unique(widths, return_counts=True)
     fractions = counts / counts.sum()
-    if wide_mix and len(classes) > 1:
-        if not 0.0 < wide_mix < 1.0:
-            raise ValueError("wide_mix must be in (0, 1), got %r" % wide_mix)
+    wide_mix = _effective_wide_mix(fractions, steps_per_block, wide_mix)
+    if wide_mix:
         # ceil: per-epoch wide-row capacity must be >= the wide class's
         # supply, otherwise the wide pool grows without bound across epochs
         # (the own-take cap below stops wide segments from draining it).
+        # _effective_wide_mix guarantees this fits in steps_per_block - 1.
         wide_steps = int(math.ceil(steps_per_block * fractions[-1]
                                    / (1.0 - wide_mix)))
-        wide_steps = min(max(wide_steps, 1), steps_per_block - 1)
         rest = steps_per_block - wide_steps
         alloc = np.floor(fractions[:-1] / fractions[:-1].sum()
                          * rest).astype(int)
@@ -307,20 +340,29 @@ def stratified_index_block_stream(target_lengths: np.ndarray, batch_size: int,
     wide segments all-short).  When the remaining examples cannot fill a
     block (fewer than K*B left, or only over-long examples remain for some
     segment), the leftovers carry into the next epoch's pools and are
-    consumed first.
+    consumed first.  Degenerate wide_mix configurations fall back to plain
+    stratification via ``_effective_wide_mix`` (round 4 shipped a livelock
+    here: at ``steps_per_block == 1`` the clamped spec dropped the widest
+    class and no block was ever fillable); a progress guard backstops any
+    residual infeasibility by raising instead of spinning.
     """
     if rng is None:
         rng = np.random.default_rng()
     target_lengths = np.asarray(target_lengths)
     widths, _ = _class_widths(target_lengths, width_multiple, cuts)
+    classes, counts = np.unique(widths, return_counts=True)
+    wide_mix = _effective_wide_mix(counts / counts.sum(), steps_per_block,
+                                   wide_mix)
     spec = chunk_segment_spec(target_lengths, steps_per_block, width_multiple,
                               cuts, wide_mix, interleave)
     widest = max(w for _, w in spec)
-    class_of = {w: np.flatnonzero(widths == w) for w in np.unique(widths)}
+    class_of = {w: np.flatnonzero(widths == w) for w in classes}
     pools = {w: np.empty((0,), np.int64) for w in class_of}
+    stuck_refills = 0
     while True:
         for w, members in class_of.items():
             pools[w] = np.concatenate([pools[w], rng.permutation(members)])
+        yielded_any = False
         while True:
             if sum(p.size for p in pools.values()) < steps_per_block * batch_size:
                 break
@@ -359,7 +401,23 @@ def stratified_index_block_stream(target_lengths: np.ndarray, batch_size: int,
             for w in pools:
                 pools[w] = pools[w][taken[w]:]
             block = np.concatenate(segments, axis=0)
+            yielded_any = True
             yield (np.ascontiguousarray(block.astype(np.int32)), spec)
+        # Progress guard: an epoch refill adds every example once, so if a
+        # refill that brought supply above one block's worth still yielded
+        # nothing, another identical refill cannot help — raise instead of
+        # growing the pools forever (the round-4 livelock mode).
+        if yielded_any:
+            stuck_refills = 0
+        elif sum(p.size for p in pools.values()) >= steps_per_block * batch_size:
+            stuck_refills += 1
+            if stuck_refills >= 2:
+                raise RuntimeError(
+                    "stratified_index_block_stream made no progress over two "
+                    "consecutive epoch refills: spec=%r, pool sizes=%r, "
+                    "batch_size=%d, steps_per_block=%d" % (
+                        spec, {w: int(p.size) for w, p in pools.items()},
+                        batch_size, steps_per_block))
 
 
 def resolve_chunk_size(steps_per_execution: int, print_every: int,

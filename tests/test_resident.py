@@ -303,6 +303,117 @@ def test_interleaved_spec_spreads_wide_steps():
     assert widths_seq.count(widths_seq[0]) >= 3
 
 
+def test_wide_mix_degenerate_block_falls_back_instead_of_livelocking():
+    """Round-4 regression: at steps_per_block=1 the old clamp dropped the
+    widest class from the spec, and the stream then spun forever on
+    infeasible blocks (VERDICT round 4, reproduced from ordinary CLI flags
+    via resolve_chunk_size(print_every=2, evaluate_every=3) == 1).  Now the
+    degenerate wide_mix must warn, fall back to plain stratification, keep
+    the widest class covered, and the stream must yield immediately."""
+    from multimodal_seq2seq_gscan_tpu.train.resident import (
+        chunk_segment_spec, stratified_index_block_stream)
+
+    rng = np.random.RandomState(17)
+    lengths = np.concatenate([rng.randint(3, 9, 90),
+                              rng.randint(9, 20, 10)]).astype(np.int32)
+    with pytest.warns(RuntimeWarning, match="disabling wide_mix"):
+        spec = chunk_segment_spec(lengths, 1, cuts=(8,), wide_mix=0.5)
+    assert max(w for _, w in spec) >= int(lengths.max())
+    assert sum(c for c, _ in spec) == 1
+
+    with pytest.warns(RuntimeWarning, match="disabling wide_mix"):
+        stream = stratified_index_block_stream(
+            lengths, 8, 1, np.random.default_rng(5), cuts=(8,), wide_mix=0.5)
+        block, got_spec = next(stream)
+    assert got_spec == spec
+    assert block.shape == (1, 8)
+    # the fallback must also hold when the clamp would merely bind (K >= 2
+    # but the ceil'd wide allocation cannot fit in K - 1 steps)
+    wide_heavy = np.concatenate([rng.randint(3, 9, 10),
+                                 rng.randint(9, 20, 90)]).astype(np.int32)
+    with pytest.warns(RuntimeWarning, match="disabling wide_mix"):
+        spec2 = chunk_segment_spec(wide_heavy, 2, cuts=(8,), wide_mix=0.5)
+    assert max(w for _, w in spec2) >= int(wide_heavy.max())
+
+
+def test_stratified_stream_progress_guard_raises(monkeypatch):
+    """If the spec can never be filled (defense-in-depth: specs are now
+    feasible by construction), the stream must raise after two fruitless
+    epoch refills instead of growing its pools forever."""
+    from multimodal_seq2seq_gscan_tpu.train import resident
+
+    lengths = np.random.RandomState(19).randint(9, 17, 100).astype(np.int32)
+    monkeypatch.setattr(resident, "chunk_segment_spec",
+                        lambda *a, **k: ((5, 8),))
+    stream = resident.stratified_index_block_stream(
+        lengths, 4, 5, np.random.default_rng(6), width_multiple=16)
+    with pytest.raises(RuntimeError, match="no progress over two"):
+        next(stream)
+
+
+def test_stratified_stream_property_random_configs():
+    """Property sweep over random (n, K, B, length mix, cuts, wide_mix,
+    interleave): the stream always yields (the livelock regression), every
+    segment row fits its width, and consumption is fair — pools are FIFO
+    per class, so within each width class the per-example counts over any
+    sampled window differ by at most 1 (no example is starved while its
+    classmates train twice).  Exact once-per-epoch-horizon coverage is only
+    guaranteed when class allocations match class fractions exactly (the
+    validated cuts configs — covered by the dedicated tests above); random
+    allocations round, so horizons shift per class."""
+    import warnings as _warnings
+
+    from multimodal_seq2seq_gscan_tpu.train.resident import (
+        _class_widths, stratified_index_block_stream)
+
+    rng = np.random.RandomState(23)
+    for trial in range(20):
+        k = int(rng.randint(1, 9))
+        batch = int(rng.choice([2, 4, 8]))
+        n_short = int(rng.randint(20, 200))
+        n_long = int(rng.randint(0, 60))
+        lengths = np.concatenate([
+            rng.randint(3, 17, n_short),
+            rng.randint(17, 60, n_long)]).astype(np.int32)
+        n = len(lengths)
+        kwargs = {}
+        if rng.rand() < 0.5:
+            kwargs["cuts"] = (16,)
+        else:
+            kwargs["width_multiple"] = int(rng.choice([8, 16]))
+        wide_mix = float(rng.choice([0.0, 0.25, 0.5, 0.9]))
+        if rng.rand() < 0.3:
+            kwargs["interleave"] = True
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore", RuntimeWarning)
+            stream = stratified_index_block_stream(
+                lengths, batch, k, np.random.default_rng(trial),
+                wide_mix=wide_mix, **kwargs)
+            blocks_per_epoch = n // (batch * k)
+            if blocks_per_epoch == 0:
+                # fewer examples than one block: still must yield (refills
+                # accumulate) rather than hang or raise
+                block, spec = next(stream)
+                assert block.shape == (k, batch)
+                continue
+            seen = []
+            for _ in range(2 * blocks_per_epoch):
+                block, spec = next(stream)
+                assert sum(c for c, _ in spec) == k
+                offset = 0
+                for count, width in spec:
+                    seg = block[offset:offset + count]
+                    assert lengths[seg].max() <= width, (trial, spec)
+                    offset += count
+                seen.append(block.ravel())
+            widths = _class_widths(lengths, kwargs.get("width_multiple", 16),
+                                   kwargs.get("cuts"))[0]
+        counts = np.bincount(np.concatenate(seen), minlength=n)
+        for w in np.unique(widths):
+            members = counts[widths == w]
+            assert members.max() - members.min() <= 1, (trial, w)
+
+
 def test_stratified_stream_wide_mix_every_chunk():
     """With wide_mix=0.5 every chunk's wide segment must carry roughly half
     shorter examples — including late chunks of the epoch (the naive
