@@ -137,10 +137,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Teacher-forced unroll: XLA scan or the fused "
                              "Pallas whole-unroll kernel pair (single-chip, "
                              "single-layer conditional decoder).")
-    parser.add_argument("--decode_dtype", type=str, default="float32",
+    parser.add_argument("--decode_dtype", type=str, default=None,
                         choices=["float32", "bfloat16", "bfloat16_mixed",
                                  "bfloat16_keys"],
-                        help="Greedy-decode loop dtype. bfloat16 halves the "
+                        help="Greedy-decode loop dtype. Unset = the shipped "
+                             "default (decode/greedy.py "
+                             "DEFAULT_DECODE_DTYPE). bfloat16 halves the "
                              "per-step attention-key HBM traffic (encoder "
                              "stays f32); bfloat16_mixed additionally keeps "
                              "the output head (logits) in f32; "
@@ -202,6 +204,15 @@ def build_parser() -> argparse.ArgumentParser:
                         action="store_true", default=False,
                         help="Spread each width class's steps round-robin "
                              "through the chunk instead of ascending runs.")
+    parser.add_argument("--seeds", type=str, default="",
+                        help="Comma-separated seed list: train ALL of them "
+                             "simultaneously in ONE vmapped program on one "
+                             "chip (multi-seed campaign; the model is "
+                             "latency-bound so extra seeds are nearly "
+                             "free). Per-seed runs land in "
+                             "<output_directory>/seed_<s>/ with the same "
+                             "checkpoint/log format as single-seed runs. "
+                             "Overrides --seed for init and data order.")
     return parser
 
 
@@ -374,8 +385,9 @@ def run_test(flags, data_path):
             max_decoding_steps=flags["max_decoding_steps"],
             batch_size=flags["test_batch_size"],
             max_testing_examples=flags["max_testing_examples"], mesh=mesh,
-            decode_dtype=(None if flags["decode_dtype"] == "float32"
-                          else flags["decode_dtype"]))
+            # Pass through as-is: None = shipped default; an explicit
+            # "float32" stays f32 even if the shipped default is bf16.
+            decode_dtype=flags["decode_dtype"])
         logger.info("Saved predictions to {}".format(output_file))
 
 

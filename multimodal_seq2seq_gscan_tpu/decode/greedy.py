@@ -56,6 +56,14 @@ class GreedyDecodeOutput(NamedTuple):
 # experimental opt-in (--decode_impl).
 DEFAULT_DECODE_IMPL = "xla"
 
+# The shipped default decode compute dtype (None/"float32", "bfloat16",
+# "bfloat16_mixed", or "bfloat16_keys"): what evaluation and the bench
+# headline run when --decode_dtype is not given. "bfloat16_keys" is
+# candidate-default pending the round-5 large-scale prediction-identity
+# validation on TPU (VERDICT round 4 item 2); until that lands the shipped
+# default stays bit-parity float32.
+DEFAULT_DECODE_DTYPE = "float32"
+
 
 @lru_cache(maxsize=8)
 def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
@@ -66,9 +74,10 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
     """Build a jitted batched greedy decoder.
 
     Memoized on (config, max_decoding_steps, early_exit, mesh,
-    exit_check_every) — all hashable — so repeated evaluations during
-    training (predict() is called every ``evaluate_every`` iterations) reuse
-    one jitted program instead of retracing/recompiling each time.
+    exit_check_every, decode_impl, compute_dtype) — all hashable — so
+    repeated evaluations during training (predict() is called every
+    ``evaluate_every`` iterations) reuse one jitted program instead of
+    retracing/recompiling each time.
 
     With ``early_exit`` (default) the time loop is a ``lax.scan`` over
     blocks of ``exit_check_every`` decoder steps in which each block is
@@ -119,6 +128,12 @@ def make_greedy_decoder(config: ModelConfig, max_decoding_steps: int,
 
     if decode_impl is None:
         decode_impl = DEFAULT_DECODE_IMPL
+    if compute_dtype is None:
+        # None = "the shipped default"; an explicit "float32" always means
+        # f32 even if the shipped default is a bf16 variant.
+        compute_dtype = DEFAULT_DECODE_DTYPE
+    if compute_dtype == "float32":
+        compute_dtype = None
     use_pallas = decode_impl == "pallas"
     if use_pallas and (mesh is not None or config.num_decoder_layers != 1
                        or not config.conditional_attention

@@ -163,7 +163,7 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
           teacher_forced_impl: str = "xla",
           chunk_layout: str = "full", stratified_widths: str = "32",
           stratified_wide_mix: float = 0.0,
-          stratified_interleave: bool = False, **kwargs):
+          stratified_interleave: bool = False, seeds: str = "", **kwargs):
     logger.info("Loading Training set...")
     training_set = GroundedScanDataset(
         data_path, data_directory, split="train",
@@ -235,6 +235,52 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
                                adam_beta_1=adam_beta_1,
                                adam_beta_2=adam_beta_2, lr_decay=lr_decay,
                                lr_decay_steps=lr_decay_steps)
+
+    stratified_options = dict(
+        # "32" (default) = the 200k-validated coarse two-class {<=32, rest}
+        # layout; "x16"/"" = fine-grained multiple-16 classes (fastest
+        # chunks, measured EM regression at 200k).
+        cuts=(None if str(stratified_widths).strip().lower()
+              in ("", "x16") else
+              tuple(int(w) for w in str(stratified_widths).split(",")
+                    if str(w).strip())),
+        wide_mix=float(stratified_wide_mix),
+        interleave=bool(stratified_interleave))
+
+    seed_list = ([int(s) for s in str(seeds).split(",") if str(s).strip()]
+                 if seeds else [])
+    if len(seed_list) > 1:
+        # Multi-seed campaign: all seeds vmapped into one program on one
+        # chip (train/multiseed.py). Per-seed data orders and init match
+        # what a single-seed run with that --seed would use.
+        if mesh is not None:
+            raise NotImplementedError(
+                "--seeds campaign training is single-chip (vmap over a "
+                "stacked-seed axis); drop --data_parallel or train seeds "
+                "individually.")
+        if resume_from_file:
+            raise NotImplementedError(
+                "resume is not supported for multi-seed campaigns; resume "
+                "each seed individually from <output>/seed_<s>/.")
+        from multimodal_seq2seq_gscan_tpu.train.multiseed import (
+            train_multiseed)
+        stacked, _ = train_multiseed(
+            training_set, dev_set, config, optimizer, seeds=seed_list,
+            output_directory=output_directory,
+            max_training_iterations=max_training_iterations,
+            training_batch_size=training_batch_size,
+            steps_per_execution=steps_per_execution,
+            print_every=print_every, evaluate_every=evaluate_every,
+            max_decoding_steps=max_decoding_steps,
+            weight_target_loss=weight_target_loss,
+            evaluation_batch_size=evaluation_batch_size,
+            max_testing_examples=max_testing_examples,
+            chunk_layout=chunk_layout,
+            stratified_options=stratified_options,
+            learning_rate=learning_rate, lr_decay=lr_decay,
+            lr_decay_steps=lr_decay_steps)
+        return stacked, config
+
     state = create_train_state(jax.random.PRNGKey(seed), config, optimizer)
     log_parameters(state.params)
     train_step = make_train_step(config, optimizer,
@@ -308,16 +354,8 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
             print_every=print_every, evaluate_every=evaluate_every,
             epoch_rng=epoch_rng, profiler=profiler,
             log_metrics=log_metrics, run_evaluation=run_evaluation,
-            chunk_layout=chunk_layout, stratified_options=dict(
-                # "32" (default) = the 200k-validated coarse two-class
-                # {<=32, rest} layout; "x16"/"" = fine-grained multiple-16
-                # classes (fastest chunks, measured EM regression at 200k).
-                cuts=(None if str(stratified_widths).strip().lower()
-                      in ("", "x16") else
-                      tuple(int(w) for w in str(stratified_widths).split(",")
-                            if str(w).strip())),
-                wide_mix=float(stratified_wide_mix),
-                interleave=bool(stratified_interleave)))
+            chunk_layout=chunk_layout,
+            stratified_options=stratified_options)
         profiler.close()
         logger.info("Finished training.")
         return state, config

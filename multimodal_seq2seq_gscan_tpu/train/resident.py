@@ -97,24 +97,13 @@ def gather_batch(data: ResidentData, idx: jax.Array) -> Batch:
         target_positions=data.target_positions[idx])
 
 
-def make_train_chunk(config: ModelConfig,
-                     optimizer: optax.GradientTransformation,
-                     weight_target_loss: float = 0.3, mesh=None,
-                     donate: bool = True):
-    """Jit ``chunk(state, data, idx_block, segments=None)``: ``K`` scanned
-    optimizer steps.
-
-    ``idx_block`` is ``[K, B] int32``; the returned metrics dict has ``[K]``
-    leaves (per-step values, last entry = most recent step).
-
-    ``segments`` (static, ``((count, width), ...)`` with counts summing to
-    K) splits the block into consecutive row groups and narrows each
-    group's gathered target matrix to its ``width`` columns before the
-    train step — exact (loss and metrics mask everything past each row's
-    target length) whenever each width covers every row of its group, which
-    `stratified_index_block_stream` guarantees.  One program is compiled
-    per distinct spec (normally: one).
-    """
+def chunk_callable(config: ModelConfig,
+                   optimizer: optax.GradientTransformation,
+                   weight_target_loss: float = 0.3):
+    """The un-jitted ``chunk(state, data, idx_block, segments=None)`` body:
+    ``K`` scanned optimizer steps.  ``make_train_chunk`` jits it (optionally
+    mesh-sharded); ``train/multiseed.py`` vmaps it over a stacked-seed axis
+    before jitting."""
 
     def chunk(state: TrainState, data: ResidentData, idx_block: jax.Array,
               segments=None):
@@ -143,6 +132,28 @@ def make_train_chunk(config: ModelConfig,
         metrics = jax.tree.map(lambda *xs: jnp.concatenate(xs), *per_segment)
         return state, metrics
 
+    return chunk
+
+
+def make_train_chunk(config: ModelConfig,
+                     optimizer: optax.GradientTransformation,
+                     weight_target_loss: float = 0.3, mesh=None,
+                     donate: bool = True):
+    """Jit ``chunk(state, data, idx_block, segments=None)``: ``K`` scanned
+    optimizer steps.
+
+    ``idx_block`` is ``[K, B] int32``; the returned metrics dict has ``[K]``
+    leaves (per-step values, last entry = most recent step).
+
+    ``segments`` (static, ``((count, width), ...)`` with counts summing to
+    K) splits the block into consecutive row groups and narrows each
+    group's gathered target matrix to its ``width`` columns before the
+    train step — exact (loss and metrics mask everything past each row's
+    target length) whenever each width covers every row of its group, which
+    `stratified_index_block_stream` guarantees.  One program is compiled
+    per distinct spec (normally: one).
+    """
+    chunk = chunk_callable(config, optimizer, weight_target_loss)
     donate_argnums = (0,) if donate else ()
     compiler_options = fused_compiler_options(config)
     if mesh is not None:

@@ -48,6 +48,14 @@ def main():
     from bench import MAX_DECODING_STEPS, _exact_match, _real_workload
     from multimodal_seq2seq_gscan_tpu.decode.greedy import make_greedy_decoder
 
+    cache_dir = os.environ.get(
+        "BENCH_CACHE_DIR", os.path.expanduser("~/.cache/jax_gscan"))
+    if cache_dir:
+        # Chained-decoder compiles run minutes each; amortize across runs.
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     workload = _real_workload()
     if workload is None:
         print("no trained artifacts; aborting", file=sys.stderr)
@@ -102,13 +110,11 @@ def main():
             name, time.time() - t0, ems.get(name, float("nan"))),
             file=sys.stderr, flush=True)
 
-    import numpy as np
-
-    def _fence(out):
-        # Tiny dependent device->host read: block_until_ready alone has been
-        # observed returning early on the axon backend (see bench._fence).
-        tokens = getattr(out, "tokens", out)
-        np.asarray(jax.device_get(tokens[:1, :1]))
+    # Tiny dependent device->host reads of EVERY output buffer:
+    # block_until_ready alone has been observed returning early on the axon
+    # backend, and blocking on tokens alone can return before the attention
+    # stacks finish materializing (see bench.fence).
+    from bench import fence as _fence
 
     per_call = (CHAIN if CHAIN > 1 else 1)
     if CHAIN > 1:

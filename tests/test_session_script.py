@@ -210,6 +210,56 @@ def test_round4b_session_script_smoke(tiny_data_dir, tmp_path):
         assert banner in log_text, banner
 
 
+def test_round5_session_script_smoke(tiny_data_dir, tmp_path):
+    """Drives scripts/round5_tpu_session.sh end-to-end on CPU: a tiny
+    training produces the checkpoint, then the f32-vs-bfloat16_keys identity
+    phase (test-mode CLI x2 + compare) and the multi-seed campaign phase run
+    through the real CLIs. Bench and the A/B are skipped (covered by their
+    own tests)."""
+    run_dir = str(tmp_path / "run")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update(GSCAN_JAX_PLATFORM="cpu")
+    train = subprocess.run(
+        ["python", "-m", "multimodal_seq2seq_gscan_tpu.cli.seq2seq",
+         "--mode=train", f"--data_directory={tiny_data_dir}",
+         f"--output_directory={run_dir}", "--conditional_attention",
+         "--no_auxiliary_task", "--training_batch_size=32",
+         "--max_training_iterations=6", "--seed=66",
+         "--generate_vocabularies", "--evaluate_every=6", "--print_every=3",
+         "--max_testing_examples=32", "--max_decoding_steps=20"]
+        + TINY_MODEL_FLAGS.split(),
+        cwd=REPO_ROOT, env=env, capture_output=True, text=True, timeout=600)
+    assert train.returncode == 0, train.stderr[-2000:]
+    ms_run = str(tmp_path / "ms_run")
+    env.update(
+        R5_DATA=tiny_data_dir,
+        R5_LOG=str(tmp_path / "perf_log.txt"),
+        R5_RUN=run_dir, R5_SPLITS="dev", R5_SKIP_BENCH="1", R5_SKIP_AB="1",
+        R5_TMP=str(tmp_path / "r5_tmp"),
+        R5_MS_ITERS="6", R5_MS_EVAL="3", R5_MS_PRINT="3", R5_MS_BATCH="16",
+        R5_MS_SEEDS="7,8", R5_MS_RUN=ms_run,
+        R5_EXTRA=TINY_MODEL_FLAGS + " --max_decoding_steps=20")
+    proc = subprocess.run(
+        ["bash", "scripts/round5_tpu_session.sh"], cwd=REPO_ROOT,
+        env=env, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    for dt in ("float32", "bfloat16_keys"):
+        pred = tmp_path / "r5_tmp" / f"identity_{dt}" / "dev_predict.json"
+        assert pred.exists(), proc.stderr[-2000:]
+        with open(pred) as f:
+            assert len(json.load(f)) > 0
+    for seed in ("7", "8"):
+        assert os.path.exists(
+            os.path.join(ms_run, f"seed_{seed}", "checkpoint.msgpack"))
+    log_text = (tmp_path / "perf_log.txt").read_text()
+    assert "prediction identity" in log_text
+    assert "prediction_mismatches=" in log_text
+    assert "identity rc=" in log_text
+    assert "multiseed campaign" in log_text
+    assert "session done" in log_text
+
+
 def test_round4c_decode_session_script_smoke(tiny_data_dir, tmp_path):
     """Drives scripts/round4c_decode_session.sh end-to-end on CPU: a tiny
     training produces the checkpoint, then both test-mode decodes (f32 and
