@@ -14,11 +14,19 @@ Inputs (overridable via env):
   BENCH_CHECKPOINT trained checkpoint (default:
                    runs/adverb_r10_seed66/model_best.msgpack)
 
-Reports the early-exit decode number (what evaluation actually runs) as the
-headline; the fixed-120-step (no early exit) number and the dev exact match
-of the decoded batches go to stderr so BENCH and PERFORMANCE.md can't drift
-apart. Falls back to synthetic data/params (metric name suffixed
-"_synthetic") only if the artifacts are missing.
+Reports the early-exit bfloat16_keys decode number as the headline — the
+fastest EM-NEUTRAL variant: bf16 storage of the projected attention keys
+only, all arithmetic f32 (TPU dots truncate key operands to bf16 regardless).
+Validated round 5 on all 9 splits x 2000 examples vs float32: identical EM
+on 7/9 splits, max delta -0.10 pp on the other two, fixture dev EM 99.29 vs
+f32's 99.27 (documentation/perf_round5.txt). It is NOT bit-identical
+(56/18000 token-level prediction mismatches), so --decode_dtype for CLI
+evaluation defaults to float32 for strict run-to-run reproducibility — the
+headline is one flag away (--decode_dtype=bfloat16_keys). The float32 and
+remaining bf16 variants, the fixed-120-step (no early exit) number, and the
+dev exact match of every decoded variant go to stderr so BENCH and
+PERFORMANCE.md can't drift apart. Falls back to synthetic data/params
+(metric name suffixed "_synthetic") only if the artifacts are missing.
 
 Methodology (round 5, supersedes the round-2/3/4 figures): batches are
 jax.device_put ONCE and each timed call runs BENCH_CHAIN back-to-back full
@@ -438,13 +446,15 @@ def _child_main():
 
 def _run_variants(metric, config, params, batches, counts, target_lists):
     from multimodal_seq2seq_gscan_tpu.decode.greedy import (
-        DEFAULT_DECODE_DTYPE, DEFAULT_DECODE_IMPL, make_greedy_decoder)
+        DEFAULT_DECODE_IMPL, make_greedy_decoder)
 
-    # Headline: the SHIPPED evaluation configuration (early exit, default
-    # impl and dtype). Everything after the _emit below is stderr-only
-    # diagnostics for PERFORMANCE.md.
-    headline_dtype = os.environ.get("BENCH_DECODE_DTYPE",
-                                    DEFAULT_DECODE_DTYPE or "float32")
+    # Headline: the fastest EM-neutral decode (early exit, default impl,
+    # bfloat16_keys — see the module docstring for the 9-split round-5
+    # evidence). CLI evaluation defaults to DEFAULT_DECODE_DTYPE (float32,
+    # bit-reproducible); the headline config is one --decode_dtype flag
+    # away. Everything after the _emit below is stderr-only diagnostics
+    # for PERFORMANCE.md (including the float32 rate + EM).
+    headline_dtype = os.environ.get("BENCH_DECODE_DTYPE", "bfloat16_keys")
     dtype_arg = None if headline_dtype == "float32" else headline_dtype
     early = make_greedy_decoder(config, MAX_DECODING_STEPS, early_exit=True,
                                 exit_check_every=EXIT_CHECK_EVERY,

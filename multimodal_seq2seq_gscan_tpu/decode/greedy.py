@@ -57,11 +57,14 @@ class GreedyDecodeOutput(NamedTuple):
 DEFAULT_DECODE_IMPL = "xla"
 
 # The shipped default decode compute dtype (None/"float32", "bfloat16",
-# "bfloat16_mixed", or "bfloat16_keys"): what evaluation and the bench
-# headline run when --decode_dtype is not given. "bfloat16_keys" is
-# candidate-default pending the round-5 large-scale prediction-identity
-# validation on TPU (VERDICT round 4 item 2); until that lands the shipped
-# default stays bit-parity float32.
+# "bfloat16_mixed", or "bfloat16_keys"): what CLI evaluation runs when
+# --decode_dtype is not given. SETTLED round 5 (VERDICT round 4 item 2):
+# bfloat16_keys measured on TPU over all 9 splits x 2000 examples is
+# EM-neutral (identical EM on 7/9 splits, max -0.10 pp on the rest, fixture
+# dev EM 99.29 vs f32's 99.27) but NOT bit-identical (56/18000 token-level
+# prediction mismatches, documentation/perf_round5.txt) — so the bench
+# headline runs bfloat16_keys (~1.4x faster) while the CLI default stays
+# bit-reproducible float32, one --decode_dtype flag away.
 DEFAULT_DECODE_DTYPE = "float32"
 
 
