@@ -207,9 +207,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seeds", type=str, default="",
                         help="Comma-separated seed list: train ALL of them "
                              "simultaneously in ONE vmapped program on one "
-                             "chip (multi-seed campaign; the model is "
-                             "latency-bound so extra seeds are nearly "
-                             "free). Per-seed runs land in "
+                             "chip (multi-seed campaign: one launch, one "
+                             "compile, one HBM-resident dataset; measured "
+                             "+3.4%% aggregate throughput over sequential "
+                             "runs at 3 seeds). Per-seed runs land in "
                              "<output_directory>/seed_<s>/ with the same "
                              "checkpoint/log format as single-seed runs. "
                              "Overrides --seed for init and data order.")

@@ -2,11 +2,20 @@
 
 The reference trains each seed as a separate 26-hour job (reference
 all_experiments.sh:5-12 — three seeds per family, sequentially or on three
-GPUs).  On TPU the flagship model is latency-bound, not FLOP-bound (440k
-params; the sequential LSTM scan dominates the ~6.7 ms device step while the
-MXU idles), so stacking the seeds on a leading axis and ``jax.vmap``-ing the
-train step makes the extra seeds nearly free: one program, one dispatch, one
-LSTM-scan latency chain for N seeds instead of N.
+GPUs).  Stacking the seeds on a leading axis and ``jax.vmap``-ing the train
+step runs the whole family as ONE program with ONE dispatch stream and ONE
+HBM-resident copy of the dataset.
+
+Measured scaling (documentation/PERFORMANCE.md round-5 section): per-seed
+step time grows near-linearly with the stacked-seed count (6.73 ms single ->
+19.6 ms at 3 seeds on the same chip/day), so the aggregate gain over
+sequential single-seed runs is small (153.5 vs 148.4 seed-steps/s at 3
+seeds, +3.4%).  This REFUTES the "latency-bound, extra seeds nearly free"
+hypothesis the trainer was built to test: the ~6.7 ms device step is
+throughput-bound (per-scan-step HBM/VPU work proportional to batch), not a
+fixed-latency scan chain.  The trainer's real value is operational — one
+launch, one compile, one dataset residency, and per-seed trajectories that
+exactly match individually-trained runs — plus the small aggregate win.
 
 Mechanics:
 

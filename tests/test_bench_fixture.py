@@ -186,7 +186,14 @@ def _run_bench(tmp_env):
                           capture_output=True, text=True, timeout=540)
     assert proc.returncode == 0, proc.stderr[-2000:]
     import json
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    if not line["metric"].endswith(("_wedged", "_synthetic")):
+        # The shipped headline is the EM-neutral bfloat16_keys decode
+        # (round-5 decision, documentation/perf_round5.txt) — guard against
+        # the headline dtype silently drifting back.
+        assert "[xla/bfloat16_keys]" in proc.stderr and \
+            "(headline)" in proc.stderr, proc.stderr[-2000:]
+    return line
 
 
 def test_bench_deadline_mid_run_still_emits_headline():
