@@ -14,8 +14,11 @@ L=${R5C_LOG:-documentation/perf_round5.txt}
 S="python -m multimodal_seq2seq_gscan_tpu.cli.seq2seq"
 D=${R5C_DATA:-data/compositional_splits_r10}
 ITERS=${R5C_ITERS:-2000}
+BATCH=${R5C_BATCH:-200}
+PRINT=${R5C_PRINT:-500}
 CACHE=${R5C_CACHE:-$HOME/.cache/jax_gscan}
 OUT=${R5C_OUT:-/tmp/r5c_probes}
+EXTRA=${R5C_EXTRA:-}
 
 mkdir -p "$OUT"
 echo "--- multiseed vmap scaling probes ($(date)) ---" >> "$L"
@@ -24,10 +27,12 @@ probe () {  # name seed_flags...
   local name=$1; shift
   if [ -f "$OUT/$name.done" ]; then return; fi
   $S --mode=train --data_directory="$D" --output_directory="$OUT/$name" \
-    --conditional_attention --no_auxiliary_task --training_batch_size=200 \
+    --conditional_attention --no_auxiliary_task \
+    --training_batch_size="$BATCH" \
     --max_training_iterations="$ITERS" --generate_vocabularies \
-    --evaluate_every=1000000 --print_every=500 --max_decoding_steps=120 \
-    --compilation_cache_dir="$CACHE" "$@" > "$OUT/$name.log" 2>&1
+    --evaluate_every=1000000 --print_every="$PRINT" \
+    --max_decoding_steps=120 \
+    --compilation_cache_dir="$CACHE" $EXTRA "$@" > "$OUT/$name.log" 2>&1
   # Steady-state = the LAST printed window (first window pays compile).
   local line
   line=$(grep "steps/s" "$OUT/$name.log" | tail -1)

@@ -260,6 +260,31 @@ def test_round5_session_script_smoke(tiny_data_dir, tmp_path):
     assert "session done" in log_text
 
 
+def test_round5c_scaling_probe_script_smoke(tiny_data_dir, tmp_path):
+    """Drives scripts/round5c_scaling_probe.sh end-to-end on CPU with tiny
+    settings: all four probes (n=1 plain single-seed path, n=2/3/6 vmapped
+    campaigns) run through the real CLI and each probe's steady-state
+    steps/s line lands in the session log."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update(
+        GSCAN_JAX_PLATFORM="cpu",
+        R5C_DATA=tiny_data_dir,
+        R5C_LOG=str(tmp_path / "perf_log.txt"),
+        R5C_ITERS="4", R5C_BATCH="16", R5C_PRINT="2",
+        R5C_OUT=str(tmp_path / "probes"), R5C_CACHE="",
+        R5C_EXTRA=TINY_MODEL_FLAGS + " --max_decoding_steps=20")
+    proc = subprocess.run(
+        ["bash", "scripts/round5c_scaling_probe.sh"], cwd=REPO_ROOT,
+        env=env, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    log_text = (tmp_path / "perf_log.txt").read_text()
+    for name in ("n1", "n2", "n3", "n6"):
+        assert "probe {}: ".format(name) in log_text, log_text
+        log = tmp_path / "probes" / "{}.log".format(name)
+        assert "steps/s" in log.read_text()
+
+
 def test_round4c_decode_session_script_smoke(tiny_data_dir, tmp_path):
     """Drives scripts/round4c_decode_session.sh end-to-end on CPU: a tiny
     training produces the checkpoint, then both test-mode decodes (f32 and
