@@ -27,7 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="In this directory the models will be saved. "
                              "Will be created if doesn't exist.")
     parser.add_argument("--resume_from_file", type=str, default="",
-                        help="Full path to previously saved model to load.")
+                        help="Full path to previously saved model to load. "
+                             "For a multi-seed campaign (--seeds) pass the "
+                             "campaign output directory instead: each seed "
+                             "resumes from <dir>/seed_<s>/checkpoint.msgpack.")
 
     # Data arguments.
     parser.add_argument("--split", type=str, default="test",

@@ -258,10 +258,11 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
                 "--seeds campaign training is single-chip (vmap over a "
                 "stacked-seed axis); drop --data_parallel or train seeds "
                 "individually.")
-        if resume_from_file:
-            raise NotImplementedError(
-                "resume is not supported for multi-seed campaigns; resume "
-                "each seed individually from <output>/seed_<s>/.")
+        # For campaigns --resume_from_file is a switch (pass the campaign
+        # output directory): every seed resumes from
+        # <output_directory>/seed_<s>/checkpoint.msgpack — the campaign
+        # checkpoints all seeds at every eval boundary, so they are always
+        # at the same iteration.
         from multimodal_seq2seq_gscan_tpu.train.multiseed import (
             train_multiseed)
         stacked, _ = train_multiseed(
@@ -278,7 +279,8 @@ def train(data_path: str, data_directory: str, generate_vocabularies: bool,
             chunk_layout=chunk_layout,
             stratified_options=stratified_options,
             learning_rate=learning_rate, lr_decay=lr_decay,
-            lr_decay_steps=lr_decay_steps)
+            lr_decay_steps=lr_decay_steps,
+            resume=bool(resume_from_file))
         return stacked, config
 
     state = create_train_state(jax.random.PRNGKey(seed), config, optimizer)

@@ -61,6 +61,44 @@ def stack_train_states(states: Sequence[TrainState]) -> TrainState:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
+def load_campaign_checkpoints(seed_dirs: Sequence[str],
+                              states: Sequence[TrainState], k: int):
+    """Restore per-seed running checkpoints for a campaign resume.
+
+    Returns ``(states, best, done)`` where ``done`` is the (common) completed
+    iteration. Validates the invariants the stream replay relies on: all
+    seeds at the same iteration (the campaign checkpoints every seed at every
+    eval boundary) and that iteration on the ``k``-step chunk grid.
+    """
+    import os
+
+    from multimodal_seq2seq_gscan_tpu.train import checkpoint as ckpt
+
+    states, metas = list(states), []
+    for i, d in enumerate(seed_dirs):
+        states[i], meta = ckpt.load_checkpoint(
+            os.path.join(d, ckpt.CHECKPOINT_FILE), states[i])
+        metas.append(meta)
+    done_iters = sorted({int(m["iteration"]) for m in metas})
+    if len(done_iters) != 1:
+        raise ValueError(
+            "cannot resume: per-seed checkpoints are at different "
+            "iterations {} ({})".format(done_iters, tuple(seed_dirs)))
+    done = done_iters[0]
+    if done % k:
+        # Checkpoints are only written at eval boundaries and
+        # resolve_chunk_size makes k divide evaluate_every, so this can only
+        # trip if the periods changed between launch and resume.
+        raise ValueError(
+            "cannot resume: checkpoint iteration {} is not on the "
+            "{}-step chunk grid (did print_every/evaluate_every/"
+            "steps_per_execution change?)".format(done, k))
+    best = [{"iteration": m["best_iteration"],
+             "accuracy": m["best_accuracy"],
+             "exact_match": m["best_exact_match"]} for m in metas]
+    return states, best, done
+
+
 def slice_train_state(stacked: TrainState, i: int) -> TrainState:
     """Seed ``i``'s state off the stacked axis (device-level slice)."""
     return jax.tree.map(lambda x: x[i], stacked)
@@ -103,7 +141,8 @@ def train_multiseed(training_set, dev_set, config: ModelConfig,
                     stratified_options: Optional[dict] = None,
                     learning_rate: float = 0.001, lr_decay: float = 0.9,
                     lr_decay_steps: float = 20000.0,
-                    decode_dtype: Optional[str] = None):
+                    decode_dtype: Optional[str] = None,
+                    resume: bool = False):
     """Train ``len(seeds)`` models simultaneously on one chip.
 
     Mirrors the single-seed resident loop (train/loop.py::_train_resident):
@@ -111,6 +150,14 @@ def train_multiseed(training_set, dev_set, config: ModelConfig,
     seed, tagged ``[seed N]``), same per-``evaluate_every`` dev decode +
     best-on-exact-match checkpointing — per seed, into
     ``<output_directory>/seed_<s>/``.
+
+    With ``resume=True`` each seed restores
+    ``<output_directory>/seed_<s>/checkpoint.msgpack`` (all seeds must be at
+    the same iteration — they are, since the campaign checkpoints every seed
+    at every eval boundary) and each seed's permutation stream is replayed
+    past the consumed blocks, so the resumed trajectory is the one the
+    uninterrupted run would have taken (tests/test_multiseed.py asserts
+    final-state equality).
     """
     import os
 
@@ -125,9 +172,6 @@ def train_multiseed(training_set, dev_set, config: ModelConfig,
     k = resolve_chunk_size(steps_per_execution, print_every, evaluate_every)
     states = [create_train_state(jax.random.PRNGKey(s), config, optimizer)
               for s in seeds]
-    stacked = stack_train_states(states)
-    chunk_fn = make_multiseed_train_chunk(
-        config, optimizer, weight_target_loss=weight_target_loss)
 
     host_data = host_resident_data(training_set)
     data = build_resident_data(training_set)
@@ -150,6 +194,23 @@ def train_multiseed(training_set, dev_set, config: ModelConfig,
     lr_fn = (lambda step: learning_rate * (lr_decay ** (step / lr_decay_steps)))
     best = [{"iteration": 1, "accuracy": 0.0, "exact_match": 0.0}
             for _ in seeds]
+    start_iteration = 1
+    if resume:
+        states, best, done = load_campaign_checkpoints(seed_dirs, states, k)
+        # Replay each seed's permutation stream past the consumed blocks so
+        # the resumed run sees exactly the data order the uninterrupted run
+        # would have.
+        for stream in streams:
+            for _ in range(done // k):
+                next(stream)
+        start_iteration = done + 1
+        logger.info("Resumed %d-seed campaign at iteration %d "
+                    "(per-seed best EM: %s).", n_seeds, done,
+                    ["%.2f" % b["exact_match"] for b in best])
+
+    stacked = stack_train_states(states)
+    chunk_fn = make_multiseed_train_chunk(
+        config, optimizer, weight_target_loss=weight_target_loss)
 
     logger.info("Multi-seed training: %d seeds %s in one vmapped program, "
                 "%d examples on device (stored once), %d-step chunks.",
@@ -189,7 +250,7 @@ def train_multiseed(training_set, dev_set, config: ModelConfig,
                 best_accuracy=best[i]["accuracy"],
                 best_exact_match=best[i]["exact_match"])
 
-    iteration = 1
+    iteration = start_iteration
     window_start = time.time()
     window_steps = 0
     while iteration <= max_training_iterations:

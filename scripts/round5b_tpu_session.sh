@@ -34,8 +34,15 @@ fi
 # --- phase 1: the 200k 3-seed campaign ---
 if [ ! -f "$RUN/.done" ]; then
   echo "--- multiseed 200k campaign: seeds=$SEEDS ---" >> "$L"
+  # Resume an interrupted campaign: every seed checkpoints at each eval
+  # boundary, so if the first seed has a running checkpoint they all do.
+  RESUME=""
+  if [ -f "$RUN/seed_${SEEDS%%,*}/checkpoint.msgpack" ]; then
+    RESUME="--resume_from_file=$RUN"
+    echo "(resuming from per-seed checkpoints in $RUN)" >> "$L"
+  fi
   start=$(date +%s)
-  $S --mode=train --data_directory="$D" --output_directory="$RUN" \
+  $S --mode=train --data_directory="$D" --output_directory="$RUN" $RESUME \
     --conditional_attention --no_auxiliary_task --training_batch_size=200 \
     --max_training_iterations="$ITERS" --seeds="$SEEDS" \
     --generate_vocabularies --evaluate_every=4000 --print_every=500 \

@@ -175,3 +175,99 @@ def test_cli_multiseed_matches_individual_runs(tiny_dataset_dir, tmp_path,
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5),
             ms_state.params, ss_state.params)
+
+
+def test_cli_multiseed_resume_matches_uninterrupted(tiny_dataset_dir,
+                                                    tmp_path):
+    """A campaign killed after the eval-boundary checkpoint and relaunched
+    with --resume_from_file=<campaign dir> must end in the same state as an
+    uninterrupted run: per-seed params, meta, and best-checkpoint tracking
+    all match (same restored states, same replayed permutation streams)."""
+    from multimodal_seq2seq_gscan_tpu.cli import seq2seq as cli
+    from multimodal_seq2seq_gscan_tpu.models import ModelConfig
+    from multimodal_seq2seq_gscan_tpu.data.dataset import GroundedScanDataset
+    from multimodal_seq2seq_gscan_tpu.train import checkpoint as ckpt
+    from multimodal_seq2seq_gscan_tpu.train.state import create_train_state
+
+    full = str(tmp_path / "full")
+    cli.main(_train_flags(tiny_dataset_dir, full, seeds="7,8",
+                          max_training_iterations=6))
+
+    resumed = str(tmp_path / "resumed")
+    cli.main(_train_flags(tiny_dataset_dir, resumed, seeds="7,8",
+                          max_training_iterations=3,
+                          generate_vocabularies=False))
+    cli.main(_train_flags(tiny_dataset_dir, resumed, seeds="7,8",
+                          max_training_iterations=6,
+                          resume_from_file=resumed,
+                          generate_vocabularies=False))
+
+    probe_set = GroundedScanDataset(
+        os.path.join(tiny_dataset_dir, "dataset.txt"), tiny_dataset_dir,
+        k=0, split="dev", input_vocabulary_file="training_input_vocab.txt",
+        target_vocabulary_file="training_target_vocab.txt",
+        generate_vocabulary=False)
+    probe_set.read_dataset(max_examples=4)
+    config = ModelConfig(
+        input_vocabulary_size=probe_set.input_vocabulary_size,
+        target_vocabulary_size=probe_set.target_vocabulary_size,
+        num_cnn_channels=probe_set.image_channels, embedding_dimension=12,
+        encoder_hidden_size=16, decoder_hidden_size=16,
+        cnn_kernel_size=3, cnn_hidden_num_channels=8)
+    template = create_train_state(jax.random.PRNGKey(0), config,
+                                  make_optimizer())
+
+    for s in (7, 8):
+        for fname in (ckpt.CHECKPOINT_FILE, ckpt.BEST_CHECKPOINT_FILE):
+            f_path = os.path.join(full, "seed_{}".format(s), fname)
+            r_path = os.path.join(resumed, "seed_{}".format(s), fname)
+            # model_best only exists once dev EM improves over 0; whether it
+            # does must at least agree between the two runs.
+            assert os.path.exists(f_path) == os.path.exists(r_path)
+            if not os.path.exists(f_path):
+                continue
+            f_state, f_meta = ckpt.load_checkpoint(f_path, template)
+            r_state, r_meta = ckpt.load_checkpoint(r_path, template)
+            assert f_meta == r_meta, (s, fname, f_meta, r_meta)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+                f_state.params, r_state.params)
+
+
+def test_multiseed_resume_rejects_off_grid_checkpoints(tmp_path):
+    """Resume refuses checkpoints that are off the chunk grid or at
+    mismatched per-seed iterations instead of silently replaying wrong
+    data order."""
+    from multimodal_seq2seq_gscan_tpu.train import checkpoint as ckpt
+    from multimodal_seq2seq_gscan_tpu.train.multiseed import (
+        load_campaign_checkpoints)
+
+    config, _ = _toy_problem()
+    optimizer = make_optimizer()
+    seeds = (7, 8)
+    seed_dirs = [str(tmp_path / "seed_{}".format(s)) for s in seeds]
+    states = [create_train_state(jax.random.PRNGKey(s), config, optimizer)
+              for s in seeds]
+
+    def save(steps):
+        for state, step, d in zip(states, steps, seed_dirs):
+            ckpt.save_checkpoint(
+                d, state._replace(step=jax.numpy.asarray(step)),
+                best_iteration=2, best_accuracy=50.0, best_exact_match=25.0)
+
+    save((3, 5))  # mismatched per-seed iterations
+    with pytest.raises(ValueError, match="different iterations"):
+        load_campaign_checkpoints(seed_dirs, states, k=2)
+
+    save((3, 3))  # aligned, but off the 2-step chunk grid
+    with pytest.raises(ValueError, match="chunk grid"):
+        load_campaign_checkpoints(seed_dirs, states, k=2)
+
+    save((4, 4))  # valid: best bookkeeping must round-trip
+    loaded, best, done = load_campaign_checkpoints(seed_dirs, states, k=2)
+    assert done == 4
+    assert best == [{"iteration": 2, "accuracy": 50.0, "exact_match": 25.0}
+                    ] * 2
+    for st in loaded:
+        assert int(st.step) == 4
