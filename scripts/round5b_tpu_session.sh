@@ -21,6 +21,12 @@ SEEDS=${R5B_SEEDS:-66,49,50}
 SPLITS=${R5B_SPLITS:-test,dev,visual,situational_1,situational_2,contextual,adverb_1,adverb_2,visual_easier}
 CACHE=${R5B_CACHE:-$HOME/.cache/jax_gscan}
 TLOG=${R5B_TLOG:-documentation/training_logs/r5_multiseed_200k.txt}
+BATCH=${R5B_BATCH:-200}
+EVAL=${R5B_EVAL:-4000}
+PRINT=${R5B_PRINT:-500}
+TESTN=${R5B_TESTN:-2000}
+MAXDEC=${R5B_MAXDEC:-120}
+TESTBATCH=${R5B_TESTBATCH:-512}
 EXTRA=${R5B_EXTRA:-}
 
 mkdir -p "$RUN" "$(dirname "$L")" "$(dirname "$TLOG")"
@@ -43,10 +49,11 @@ if [ ! -f "$RUN/.done" ]; then
   fi
   start=$(date +%s)
   $S --mode=train --data_directory="$D" --output_directory="$RUN" $RESUME \
-    --conditional_attention --no_auxiliary_task --training_batch_size=200 \
+    --conditional_attention --no_auxiliary_task \
+    --training_batch_size="$BATCH" \
     --max_training_iterations="$ITERS" --seeds="$SEEDS" \
-    --generate_vocabularies --evaluate_every=4000 --print_every=500 \
-    --max_testing_examples=2000 --max_decoding_steps=120 \
+    --generate_vocabularies --evaluate_every="$EVAL" --print_every="$PRINT" \
+    --max_testing_examples="$TESTN" --max_decoding_steps="$MAXDEC" \
     --compilation_cache_dir="$CACHE" $EXTRA >> "$TLOG" 2>&1
   rc=$?
   echo "multiseed 200k: rc=$rc, $(( $(date +%s) - start ))s wall" >> "$L"
@@ -68,9 +75,10 @@ for s in ${SEEDS//,/ }; do
   $S --mode=test --data_directory="$D" --output_directory="$SD" \
     --conditional_attention --no_auxiliary_task \
     --resume_from_file="$SD/model_best.msgpack" \
-    --splits="$SPLITS" --max_decoding_steps=120 --test_batch_size=512 \
-    --max_testing_examples=2000 --compilation_cache_dir="$CACHE" \
-    >> "$TLOG" 2>&1 && touch "$SD/.tested"
+    --splits="$SPLITS" --max_decoding_steps="$MAXDEC" \
+    --test_batch_size="$TESTBATCH" \
+    --max_testing_examples="$TESTN" --compilation_cache_dir="$CACHE" \
+    $EXTRA >> "$TLOG" 2>&1 && touch "$SD/.tested"
 done
 
 echo "=== round5b session done $(date) ===" >> "$L"

@@ -260,6 +260,54 @@ def test_round5_session_script_smoke(tiny_data_dir, tmp_path):
     assert "session done" in log_text
 
 
+def test_round5b_session_script_resume_smoke(tiny_data_dir, tmp_path):
+    """Drives scripts/round5b_tpu_session.sh twice on CPU: the first
+    invocation runs a tiny 2-seed campaign to iteration 3 (checkpointing at
+    the eval boundary); the second — with `.done` removed, simulating a
+    killed session — must take the resume branch (--resume_from_file from
+    the per-seed checkpoints) and continue to iteration 6."""
+    run_dir = str(tmp_path / "ms_run")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update(
+        GSCAN_JAX_PLATFORM="cpu",
+        R5B_DATA=tiny_data_dir,
+        R5B_LOG=str(tmp_path / "perf_log.txt"),
+        R5B_RUN=run_dir, R5B_ITERS="3", R5B_SEEDS="7,8",
+        R5B_SPLITS="dev", R5B_BATCH="16", R5B_EVAL="3", R5B_PRINT="3",
+        R5B_TESTN="16", R5B_MAXDEC="20", R5B_CACHE="",
+        R5B_TLOG=str(tmp_path / "train_log.txt"),
+        R5B_EXTRA=TINY_MODEL_FLAGS)
+    proc = subprocess.run(
+        ["bash", "scripts/round5b_tpu_session.sh"], cwd=REPO_ROOT, env=env,
+        capture_output=True, text=True, timeout=900)
+    train_log = tmp_path / "train_log.txt"
+    assert proc.returncode == 0, (
+        proc.stderr[-2000:] + "\n" +
+        (train_log.read_text()[-2000:] if train_log.exists() else ""))
+    for s in ("7", "8"):
+        assert os.path.exists(
+            os.path.join(run_dir, f"seed_{s}", "checkpoint.msgpack"))
+    assert os.path.exists(os.path.join(run_dir, ".done"))
+
+    # Simulate a session killed mid-campaign: checkpoints exist, .done not.
+    os.remove(os.path.join(run_dir, ".done"))
+    env["R5B_ITERS"] = "6"
+    proc = subprocess.run(
+        ["bash", "scripts/round5b_tpu_session.sh"], cwd=REPO_ROOT, env=env,
+        capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        proc.stderr[-2000:] + "\n" + train_log.read_text()[-2000:])
+    log_text = (tmp_path / "perf_log.txt").read_text()
+    assert "(resuming from per-seed checkpoints" in log_text
+    assert "Resumed 2-seed campaign at iteration 3" in train_log.read_text()
+    for s in ("7", "8"):
+        with open(os.path.join(run_dir, f"seed_{s}",
+                               "checkpoint.msgpack.json")) as f:
+            assert json.load(f)["iteration"] == 6
+    assert "session done" in log_text
+
+
 def test_round5c_scaling_probe_script_smoke(tiny_data_dir, tmp_path):
     """Drives scripts/round5c_scaling_probe.sh end-to-end on CPU with tiny
     settings: all four probes (n=1 plain single-seed path, n=2/3/6 vmapped
