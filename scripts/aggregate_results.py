@@ -23,7 +23,8 @@ SPLIT_ORDER = ["dev", "test", "visual", "visual_easier", "situational_1",
 FAMILIES = [
     ("Compositional splits (200k, batch 200)",
      r"^(adverb_(r10_)?seed|r2_adverb_seed|r3_adverb_seed|r4_full|r4_strat|"
-     r"r4b_|r5_ms_seed|ctrl)", "reference dev EM 98.15 (adverb_run_1.txt)"),
+     r"r4b_|r5_ms_seed|r5_strat_ms_seed|ctrl)",
+     "reference dev EM 98.15 (adverb_run_1.txt)"),
     ("Adverb k-shot",
      r"^(r2_adverb_k|r3_adverb_k|adverb_k)",
      "reference dev EM: k=5 98.75, k=50 98.55"),
