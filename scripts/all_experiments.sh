@@ -10,10 +10,13 @@
 # +3.4% aggregate throughput (per-seed step time scales near-linearly with
 # stacked seeds — the step is throughput-bound, not latency-bound; see
 # PERFORMANCE.md). Per-seed results land in <output>/seed_<s>/ with
-# single-seed-compatible checkpoints/logs. The fastest validated wall-clock
-# path is single-seed --chunk_layout=stratified (2.03x, dev EM ≥ 98.15 bar
-# on all 3 reference seeds but -0.65 EM vs full-width on seed 50) — the
-# canonical commands keep full-width for reference-exact quality.
+# single-seed-compatible checkpoints/logs. Interrupted campaigns resume
+# with --resume_from_file=<output dir> (exact trajectory replay). The
+# fastest validated wall-clock path is --chunk_layout=stratified, which
+# composes with --seeds (3-seed x 200k family in 46 min, 308 aggregate
+# seed-steps/s, all seeds ≥ the 98.15 bar at 200k) but gives up
+# ~0.3-0.4 pp dev EM vs full-width — the canonical commands keep
+# full-width for reference-exact quality.
 #
 # Expects datasets generated with cli.gscan (or the published gSCAN datasets)
 # in data/compositional_splits, data/GECA and data/target_length_split.
